@@ -1,0 +1,223 @@
+"""BAM reading/writing in pure Python (BGZF + binary record codec).
+
+Serves the role of the reference's htslib-backed BamLoader (reference:
+src/IOStream/bam_loader.cpp:118-142): sequential whole-file iteration of
+coordinate-sorted reads, plus a writer used to synthesize test BAMs. Multiple
+input files are k-way merged by (tid, pos, reverse, file-index) exactly as the
+reference merges (bam_loader.cpp:93-116).
+"""
+
+import heapq
+import struct
+
+import numpy as np
+
+from ..reads.cigar import Cigar, CigarOp
+from ..reads.record import ReadRecord
+from . import bgzf
+
+SEQ_NT16 = "=ACMGRSVTWYHKDBN"
+_NT16_CODE = {c: i for i, c in enumerate(SEQ_NT16)}
+_NT16_CODE.update({"a": 1, "c": 2, "g": 4, "t": 8, "n": 15})
+
+_DECODE_PAIR = [SEQ_NT16[b >> 4] + SEQ_NT16[b & 0xF] for b in range(256)]
+
+
+class BamHeader:
+    def __init__(self, text="", ref_names=(), ref_lengths=()):
+        self.text = text
+        self.ref_names = list(ref_names)
+        self.ref_lengths = list(ref_lengths)
+        self.name_to_id = {n: i for i, n in enumerate(self.ref_names)}
+
+    @property
+    def read_groups(self):
+        """RG IDs and sample names parsed from @RG lines
+        (reference: src/rovaca_tool.hpp:163-203)."""
+        groups = []
+        for line in self.text.splitlines():
+            if line.startswith("@RG"):
+                fields = dict(f.split(":", 1) for f in line.split("\t")[1:]
+                              if ":" in f)
+                groups.append(fields)
+        return groups
+
+    @property
+    def samples(self):
+        out = []
+        for rg in self.read_groups:
+            sm = rg.get("SM")
+            if sm and sm not in out:
+                out.append(sm)
+        return out
+
+
+class BamReader:
+    def __init__(self, path):
+        self.path = path
+        self._fh = bgzf.open_read(path)
+        magic = self._fh.read(4)
+        if magic != b"BAM\x01":
+            raise ValueError(f"{path}: not a BAM file")
+        (l_text,) = struct.unpack("<i", self._fh.read(4))
+        text = self._fh.read(l_text).decode("latin-1").rstrip("\x00")
+        (n_ref,) = struct.unpack("<i", self._fh.read(4))
+        names, lengths = [], []
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", self._fh.read(4))
+            names.append(self._fh.read(l_name)[:-1].decode())
+            lengths.append(struct.unpack("<i", self._fh.read(4))[0])
+        self.header = BamHeader(text, names, lengths)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        size_raw = self._fh.read(4)
+        if len(size_raw) < 4:
+            raise StopIteration
+        (block_size,) = struct.unpack("<i", size_raw)
+        data = self._fh.read(block_size)
+        return self._parse(data)
+
+    def _parse(self, data):
+        (ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
+         next_ref, next_pos, tlen) = struct.unpack_from("<iiBBHHHiiii", data, 0)
+        off = 32
+        name = data[off:off + l_read_name - 1].decode()
+        off += l_read_name
+        cigar_raw = np.frombuffer(data, dtype="<u4", count=n_cigar, offset=off)
+        off += 4 * n_cigar
+        cigar = Cigar((CigarOp(int(c) & 0xF), int(c) >> 4) for c in cigar_raw)
+        n_seq_bytes = (l_seq + 1) // 2
+        seq_packed = data[off:off + n_seq_bytes]
+        off += n_seq_bytes
+        bases = "".join(_DECODE_PAIR[b] for b in seq_packed)[:l_seq]
+        quals = np.frombuffer(data, dtype=np.uint8, count=l_seq,
+                              offset=off).copy()
+        off += l_seq
+        tags = _parse_tags(data, off)
+        contig = (self.header.ref_names[ref_id]
+                  if 0 <= ref_id < len(self.header.ref_names) else None)
+        return ReadRecord(name=name, flag=flag, ref_id=ref_id, pos=pos,
+                          mapping_quality=mapq, cigar=cigar, bases=bases,
+                          quals=quals, mate_ref_id=next_ref, mate_pos=next_pos,
+                          tlen=tlen, tags=tags, contig=contig)
+
+    def close(self):
+        self._fh.close()
+
+
+def _parse_tags(data, off):
+    tags = {}
+    n = len(data)
+    while off + 3 <= n:
+        tag = data[off:off + 2].decode()
+        typ = chr(data[off + 2])
+        off += 3
+        if typ == "A":
+            tags[tag] = chr(data[off]); off += 1
+        elif typ in "cC":
+            tags[tag] = data[off] if typ == "C" else struct.unpack_from("<b", data, off)[0]
+            off += 1
+        elif typ in "sS":
+            tags[tag] = struct.unpack_from("<h" if typ == "s" else "<H", data, off)[0]
+            off += 2
+        elif typ in "iI":
+            tags[tag] = struct.unpack_from("<i" if typ == "i" else "<I", data, off)[0]
+            off += 4
+        elif typ == "f":
+            tags[tag] = struct.unpack_from("<f", data, off)[0]; off += 4
+        elif typ in "ZH":
+            end = data.index(b"\x00", off)
+            tags[tag] = data[off:end].decode()
+            off = end + 1
+        elif typ == "B":
+            sub = chr(data[off])
+            (cnt,) = struct.unpack_from("<i", data, off + 1)
+            fmt = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i",
+                   "I": "I", "f": "f"}[sub]
+            vals = struct.unpack_from(f"<{cnt}{fmt}", data, off + 5)
+            tags[tag] = list(vals)
+            off += 5 + cnt * struct.calcsize(fmt)
+        else:
+            break
+    return tags
+
+
+class BamWriter:
+    def __init__(self, path, header, level=6):
+        self.header = header
+        self._w = bgzf.Writer(path, level)
+        text = header.text.encode()
+        buf = b"BAM\x01" + struct.pack("<i", len(text)) + text
+        buf += struct.pack("<i", len(header.ref_names))
+        for name, length in zip(header.ref_names, header.ref_lengths):
+            nb = name.encode() + b"\x00"
+            buf += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
+        self._w.write(buf)
+
+    def write(self, read):
+        name = read.name.encode() + b"\x00"
+        cigar_raw = b"".join(
+            struct.pack("<I", (n << 4) | int(op)) for op, n in read.cigar)
+        l_seq = len(read.bases)
+        seq_codes = [_NT16_CODE.get(chr(b), 15) for b in read.bases]
+        if l_seq % 2:
+            seq_codes.append(0)
+        packed = bytes((seq_codes[i] << 4) | seq_codes[i + 1]
+                       for i in range(0, len(seq_codes), 2))
+        quals = bytes(np.asarray(read.quals, dtype=np.uint8))
+        tags = b""
+        for tag, val in read.tags.items():
+            if isinstance(val, str) and len(val) == 1 and tag in ("XA",):
+                tags += tag.encode() + b"A" + val.encode()
+            elif isinstance(val, int):
+                tags += tag.encode() + b"i" + struct.pack("<i", val)
+            elif isinstance(val, float):
+                tags += tag.encode() + b"f" + struct.pack("<f", val)
+            else:
+                tags += tag.encode() + b"Z" + str(val).encode() + b"\x00"
+        body = struct.pack(
+            "<iiBBHHHiiii", read.ref_id, read.pos, len(name),
+            read.mapping_quality, 0, len(read.cigar.elements), read.flag,
+            l_seq, read.mate_ref_id, read.mate_pos, read.tlen)
+        body += name + cigar_raw + packed + quals + tags
+        self._w.write(struct.pack("<i", len(body)) + body)
+
+    def close(self):
+        self._w.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def merged_reader(paths):
+    """K-way merge of coordinate-sorted BAMs by (tid, pos, reverse, file)
+    (reference: src/IOStream/bam_loader.cpp:93-116). Yields ReadRecords."""
+    readers = [BamReader(p) for p in paths]
+    heap = []
+    for fi, rd in enumerate(readers):
+        try:
+            read = next(rd)
+            key = (read.ref_id if read.ref_id >= 0 else 1 << 30, read.pos,
+                   read.is_reverse, fi)
+            heap.append((key, fi, read))
+        except StopIteration:
+            pass
+    heapq.heapify(heap)
+    while heap:
+        key, fi, read = heapq.heappop(heap)
+        yield read
+        try:
+            nxt = next(readers[fi])
+            nkey = (nxt.ref_id if nxt.ref_id >= 0 else 1 << 30, nxt.pos,
+                    nxt.is_reverse, fi)
+            heapq.heappush(heap, (nkey, fi, nxt))
+        except StopIteration:
+            pass
+    for rd in readers:
+        rd.close()

@@ -1,0 +1,106 @@
+"""End-to-end PairHMM scoring: dispatch, rescue, normalization, filtering.
+
+Mirrors the behavior of the reference's call_pairhmm pipeline
+(reference: src/haplotypecaller/pairhmm/pairhmm_internal.cpp:596-753):
+float kernel first, double-precision host rescue for underflows
+(< 1e-28), per-read cap at best-4.5, poorly-modelled-read removal, and a
+[hap][read] result matrix.
+"""
+
+import numpy as np
+import jax
+
+from ... import constants as C
+from . import golden, prep
+from .kernel import pairhmm_pallas
+from .xla import pairhmm_xla
+
+
+def default_engine():
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def pairhmm_raw(batch, engine="auto"):
+    """Run the forward kernel over a PairBatch -> (GH, GR, 8, 128) np.f32."""
+    if engine == "auto":
+        engine = default_engine()
+    if engine == "pallas":
+        out = pairhmm_pallas(batch.trans, batch.rbase, batch.rlen,
+                             batch.hbase, batch.hlen)
+    elif engine == "pallas_interpret":
+        out = pairhmm_pallas(batch.trans, batch.rbase, batch.rlen,
+                             batch.hbase, batch.hlen, interpret=True)
+    elif engine == "xla":
+        out = pairhmm_xla(batch.trans, batch.rbase, batch.rlen,
+                          batch.hbase, batch.hlen)
+    else:
+        raise ValueError(f"unknown pairhmm engine: {engine}")
+    return np.asarray(out)
+
+
+def log10_with_rescue(raw_matrix, reads, haps, pcr_model="CONSERVATIVE",
+                      min_quality_threshold=C.MIN_QUALITY_THRESHOLD):
+    """float32 log10 with double rescue (pairhmm_internal.cpp:674-689).
+
+    raw_matrix: (n_haps, n_reads) f32 raw forward probabilities.
+    Returns (n_haps, n_reads) float64 log10 likelihoods.
+    """
+    raw = np.asarray(raw_matrix, dtype=np.float32)
+    out = np.empty(raw.shape, dtype=np.float64)
+    ok = raw >= np.float32(C.MIN_ACCEPTED_F32)
+    logf = np.full(raw.shape, np.nan, dtype=np.float32)
+    np.log10(raw, out=logf, where=ok)
+    out[ok] = (logf[ok] - np.float32(C.LOG10_INITIAL_CONSTANT_F32)).astype(np.float64)
+
+    hap_bytes = [h.encode() if isinstance(h, str) else bytes(h) for h in haps]
+    for h_idx, r_idx in zip(*np.nonzero(~ok)):
+        read = reads[r_idx]
+        rd = golden.compute_full_prob(
+            read.bases, read.quals, read.mapping_quality, hap_bytes[h_idx],
+            ins_gops=getattr(read, "ins_quals", None),
+            gcp=getattr(read, "gcp", None),
+            dtype=np.float64, pcr_model=pcr_model,
+            min_quality_threshold=min_quality_threshold)
+        out[h_idx, r_idx] = np.log10(rd) - C.LOG10_INITIAL_CONSTANT_F64
+    return out
+
+
+def normalize_likelihoods(lik_by_read):
+    """Cap each read's likelihoods at best - 4.5 in place
+    (pairhmm_internal.cpp:53-63)."""
+    best = np.max(lik_by_read, axis=1, keepdims=True)
+    cap = best + C.MAXIMUM_BEST_ALT_LIKELIHOOD_DIFFERENCE
+    return np.maximum(lik_by_read, cap)
+
+
+def poorly_modelled_mask(read_lengths, lik_by_read):
+    """True where a read is poorly modelled and must be dropped
+    (pairhmm_internal.cpp:161-182)."""
+    best = np.max(lik_by_read, axis=1)
+    thresh = np.minimum(
+        C.MAXIMUM_EXPECTED_ERROR_PER_READ,
+        np.ceil(np.asarray(read_lengths) * C.EXPECTED_ERROR_RATE_PER_BASE),
+    ) * C.LOG10_QUALITY_PER_BASE
+    return best < thresh
+
+
+def compute_likelihoods(reads, haps, pcr_model="CONSERVATIVE",
+                        min_quality_threshold=C.MIN_QUALITY_THRESHOLD,
+                        engine="auto"):
+    """Score all (read, hap) pairs.
+
+    Returns (likelihoods, kept_indices): likelihoods is an
+    (n_haps, n_kept_reads) float64 log10 matrix; kept_indices maps its read
+    columns back into `reads` after poorly-modelled-read removal.
+    """
+    batch = prep.build_pair_batch(
+        reads, haps, pcr_model=pcr_model,
+        min_quality_threshold=min_quality_threshold)
+    raw = pairhmm_raw(batch, engine=engine)
+    lik_hr = log10_with_rescue(batch.result_matrix(raw), reads, haps,
+                               pcr_model=pcr_model,
+                               min_quality_threshold=min_quality_threshold)
+    lik_rh = normalize_likelihoods(lik_hr.T)
+    drop = poorly_modelled_mask([len(r.bases) for r in reads], lik_rh)
+    kept = np.nonzero(~drop)[0]
+    return lik_rh[kept].T.copy(), kept
