@@ -3,19 +3,22 @@
 TPU-native layout (vs the reference's 16-reads-per-__m512 scheme,
 reference: src/haplotypecaller/pairhmm/rovaca/avx_512_float.cc:29-183):
 each vector tile is (8 haplotypes x 128 reads) = 1024 independent (read, hap)
-DP cells per VPU op. Scalar loops sweep read rows (outer) and haplotype
-columns (inner, unrolled UNROLL-wide with chunked VMEM traffic); one DP row of
-state (M/I/D for every column) lives in VMEM scratch shaped (Lh+1, 8, 128),
-updated chunk-in-place with the previous row's chunk consumed into registers
-just before being overwritten — the reference kernel's register choreography,
-widened from 16 lanes to 1024 and unrolled.
+DP cells per VPU op.
+
+Blocking: the sweep processes ROWS_PER_ITER read rows x COLS_PER_ITER hap
+columns per inner step. Within a row-block, row r's state feeds row r+1
+entirely through registers (the I recurrence needs row r at the same column,
+the M recurrence needs row r at the previous column — both are loop carries),
+so VMEM scratch holds only ONE row of M/I/D state (the block's last row),
+cutting state traffic by ROWS_PER_ITER. Column chunking batches the scratch
+loads/stores U columns at a time.
 
 Masking:
 - read-length mask: rows past a read's end copy the previous row through
   (so the final row holds every read's own terminal values)
 - hap-length mask: applied only in the final column sum — columns past a
-  hap's end accumulate garbage, but the DP only ever propagates state
-  rightward/downward, so garbage never reaches valid columns.
+  hap's end accumulate garbage, but the DP only propagates state rightward/
+  downward, so garbage never reaches valid columns.
 
 Grid is (hap_tiles, read_tiles); read-side inputs are indexed by the read
 tile only and hap-side by the hap tile only, so nothing is duplicated in HBM.
@@ -31,13 +34,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ... import constants as C
 
 F32 = jnp.float32
-UNROLL = 8
+ROWS_PER_ITER = 4
+COLS_PER_ITER = 8
 
 
 def _pairhmm_kernel(trans_ref, rbase_ref, rlen_ref, hbase_ref, hlen_ref,
-                    out_ref, mm_s, ii_s, dd_s, *, max_read_len, max_hap_len):
+                    out_ref, mm_s, ii_s, dd_s, *, max_read_len, max_hap_len,
+                    rows_per_iter, cols_per_iter):
     Lr, Lh = max_read_len, max_hap_len
-    U = UNROLL
+    R, U = rows_per_iter, cols_per_iter
 
     hlen = hlen_ref[0]                                   # (8, 1) i32
     rlen = rlen_ref[0]                                   # (1, 128) i32
@@ -46,58 +51,69 @@ def _pairhmm_kernel(trans_ref, rbase_ref, rlen_ref, hbase_ref, hlen_ref,
     zero_tile = jnp.zeros((8, 128), F32)
 
     # row -1 boundary: M = I = 0, D = 2^120 / hapLen in every column
-    mm_s[...] = jnp.zeros((Lh + 1, 8, 128), F32)
-    ii_s[...] = jnp.zeros((Lh + 1, 8, 128), F32)
-    dd_s[...] = jnp.broadcast_to(init_d[None], (Lh + 1, 8, 128))
+    mm_s[...] = jnp.zeros((Lh, 8, 128), F32)
+    ii_s[...] = jnp.zeros((Lh, 8, 128), F32)
+    dd_s[...] = jnp.broadcast_to(init_d[None], (Lh, 8, 128))
 
-    def row_body(i, _):
-        t = trans_ref[0, pl.ds(i, 1)]                    # (1, 8, 128)
-        bc = lambda k: jnp.broadcast_to(t[0, k:k + 1, :], (8, 128))
-        p_mm, p_gapm, p_mi, p_ii, p_md, p_dd, p_distm, p_1distm = (
-            bc(k) for k in range(8))
-        r = jnp.broadcast_to(rbase_ref[0, pl.ds(i, 1), :], (8, 128))
-        lvalid = jnp.broadcast_to(i < rlen, (8, 128))
+    def block_body(ib, _):
+        i0 = ib * R
+        t = trans_ref[0, pl.ds(i0, R)]                   # (R, 8, 128)
+        ch = [[t[r, k:k + 1, :] for k in range(8)] for r in range(R)]
+        rb = rbase_ref[0, pl.ds(i0, R), :]               # (R, 128)
+        rr = [rb[r:r + 1, :] for r in range(R)]          # (1, 128) each
+        lv = [(i0 + r) < rlen for r in range(R)]         # (1, 128) bool
 
-        # column -1 boundary for this row; the (-1,-1) corner carries D=init_d
-        # into M[0][0] on the first row only
-        corner_d = jnp.where(i == 0, init_d, zero_tile)
+        # diagonal carry for block row 0 = scratch row (block i-1's last row)
+        # at col -1: zeros except the global (-1,-1) corner D = init_d
+        dg0_d = jnp.where(i0 == 0, init_d, zero_tile)
 
         def chunk_body(jc, carry):
             j0 = jc * U
-            (M_j1, I_j1, D_j1, M_i1j1, I_i1j1, D_i1j1) = carry
+            # per-row current-row carries (col j-1) + row-0 diagonal carry
+            Mc = list(carry[0:R])
+            Ic = list(carry[R:2 * R])
+            Dc = list(carry[2 * R:3 * R])
+            dgM, dgI, dgD = carry[3 * R], carry[3 * R + 1], carry[3 * R + 2]
+
             hb = hbase_ref[0, pl.ds(j0, U)]              # (U, 8, 128)
-            mmP = mm_s[pl.ds(j0, U)]                     # row i-1, cols j0..+U
+            mmP = mm_s[pl.ds(j0, U)]                     # prev block last row
             iiP = ii_s[pl.ds(j0, U)]
             ddP = dd_s[pl.ds(j0, U)]
 
             Ms, Is, Ds = [], [], []
             for u in range(U):
-                M_i1, I_i1, D_i1 = mmP[u], iiP[u], ddP[u]
-                match = (r & hb[u]) != 0
-                dchosen = jnp.where(match, p_1distm, p_distm)
-                M_t = dchosen * (M_i1j1 * p_mm + (I_i1j1 + D_i1j1) * p_gapm)
-                I_t = M_i1 * p_mi + I_i1 * p_ii
-                D_t = M_j1 * p_md + D_j1 * p_dd
-                M = jnp.where(lvalid, M_t, M_i1)
-                I = jnp.where(lvalid, I_t, I_i1)
-                D = jnp.where(lvalid, D_t, D_i1)
-                Ms.append(M)
-                Is.append(I)
-                Ds.append(D)
-                M_i1j1, I_i1j1, D_i1j1 = M_i1, I_i1, D_i1
-                M_j1, I_j1, D_j1 = M, I, D
+                h = hb[u]
+                prevM, prevI, prevD = mmP[u], iiP[u], ddP[u]
+                dM, dI, dD = dgM, dgI, dgD               # diag for row 0
+                upM, upI, upD = prevM, prevI, prevD      # row above, col j
+                for r in range(R):
+                    p_mm, p_gapm, p_mi, p_ii, p_md, p_dd, p_dm, p_1dm = ch[r]
+                    match = (rr[r] & h) != 0
+                    dchosen = jnp.where(match, p_1dm, p_dm)
+                    M_t = dchosen * (dM * p_mm + (dI + dD) * p_gapm)
+                    I_t = upM * p_mi + upI * p_ii
+                    D_t = Mc[r] * p_md + Dc[r] * p_dd
+                    M = jnp.where(lv[r], M_t, upM)
+                    I = jnp.where(lv[r], I_t, upI)
+                    D = jnp.where(lv[r], D_t, upD)
+                    dM, dI, dD = Mc[r], Ic[r], Dc[r]     # diag for row r+1
+                    Mc[r], Ic[r], Dc[r] = M, I, D
+                    upM, upI, upD = M, I, D
+                Ms.append(Mc[R - 1])
+                Is.append(Ic[R - 1])
+                Ds.append(Dc[R - 1])
+                dgM, dgI, dgD = prevM, prevI, prevD      # diag col j for next u
 
             mm_s[pl.ds(j0, U)] = jnp.stack(Ms)
             ii_s[pl.ds(j0, U)] = jnp.stack(Is)
             dd_s[pl.ds(j0, U)] = jnp.stack(Ds)
-            return (M_j1, I_j1, D_j1, M_i1j1, I_i1j1, D_i1j1)
+            return tuple(Mc) + tuple(Ic) + tuple(Dc) + (dgM, dgI, dgD)
 
-        carry0 = (zero_tile, zero_tile, zero_tile,        # col -1, row i
-                  zero_tile, zero_tile, corner_d)         # (i-1, j-1) corner
+        carry0 = (zero_tile,) * (3 * R) + (zero_tile, zero_tile, dg0_d)
         jax.lax.fori_loop(0, Lh // U, chunk_body, carry0)
         return 0
 
-    jax.lax.fori_loop(0, Lr, row_body, 0)
+    jax.lax.fori_loop(0, Lr // R, block_body, 0)
 
     # final sum over valid columns of the last row: sum_j (M + I)
     def sum_body(jc, acc):
@@ -112,21 +128,26 @@ def _pairhmm_kernel(trans_ref, rbase_ref, rlen_ref, hbase_ref, hlen_ref,
     out_ref[0, 0] = jax.lax.fori_loop(0, Lh // U, sum_body, zero_tile)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pairhmm_pallas(trans, rbase, rlen, hbase, hlen, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "rows_per_iter",
+                                    "cols_per_iter"))
+def pairhmm_pallas(trans, rbase, rlen, hbase, hlen, interpret=False,
+                   rows_per_iter=ROWS_PER_ITER, cols_per_iter=COLS_PER_ITER):
     """Batched PairHMM forward on TPU.
 
     trans: (GR, Lr, 8, 128) f32; rbase: (GR, Lr, 128) i32;
     rlen: (GR, 1, 128) i32; hbase: (GH, Lh, 8, 128) i32; hlen: (GH, 8, 1) i32.
     Returns (GH, GR, 8, 128) f32 raw (scaled by 2^120) forward probabilities.
-    Lh must be a multiple of UNROLL.
+    Lr % rows_per_iter == 0 and Lh % cols_per_iter == 0 required.
     """
     GR, Lr = trans.shape[0], trans.shape[1]
     GH, Lh = hbase.shape[0], hbase.shape[1]
-    assert Lh % UNROLL == 0, (Lh, UNROLL)
+    R, U = rows_per_iter, cols_per_iter
+    assert Lr % R == 0 and Lh % U == 0, (Lr, R, Lh, U)
 
     kernel = functools.partial(_pairhmm_kernel, max_read_len=Lr,
-                               max_hap_len=Lh)
+                               max_hap_len=Lh, rows_per_iter=R,
+                               cols_per_iter=U)
     flops = 2 * 9 * Lr * Lh * GR * GH * 8 * 128
     return pl.pallas_call(
         kernel,
@@ -147,9 +168,9 @@ def pairhmm_pallas(trans, rbase, rlen, hbase, hlen, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((GH, GR, 8, 128), F32),
         scratch_shapes=[
-            pltpu.VMEM((Lh + 1, 8, 128), F32),
-            pltpu.VMEM((Lh + 1, 8, 128), F32),
-            pltpu.VMEM((Lh + 1, 8, 128), F32),
+            pltpu.VMEM((Lh, 8, 128), F32),
+            pltpu.VMEM((Lh, 8, 128), F32),
+            pltpu.VMEM((Lh, 8, 128), F32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=trans.size * 4 + hbase.size * 4,

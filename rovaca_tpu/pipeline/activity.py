@@ -1,0 +1,385 @@
+"""Per-base activity model + band-pass profile + region cutting.
+
+Window-vectorized reimplementation of the reference's streaming activity
+pipeline (reference: src/haplotypecaller/ActiveRegion/HcActiveBase.cpp:96-296,
+ActiveRegionEngine.cpp:23-260). Instead of per-read ring buffers and a
+coordinate ring buffer spread across threads, each genomic window is processed
+as dense arrays:
+
+1. CIGAR walks classify each read base as variant (alt/indel-adjacent/
+   softclip-adjacent) or reference evidence, histogrammed per position/qual.
+2. Ref-vs-any genotype likelihoods come from one tensordot against a
+   precomputed (status, qual, genotype) cache, then PL quantization and the
+   biallelic non-ref posterior — all vectorized over positions.
+3. The Gaussian band-pass (half-width 50, sigma 17) is a single correlate()
+   with per-site smear widths handled by bucketing sites by repeat factor.
+4. Region cutting thresholds at 0.002 and cuts [min 50, max 300] regions,
+   splitting oversized runs at the best local minimum.
+"""
+
+import dataclasses
+import math
+
+import numpy as np
+
+from .. import constants as C
+from ..reads.cigar import CigarOp
+
+# constants from HcActiveBase.cpp:1-12
+REF_MODEL_DELETION_QUAL = 30
+MIN_BASE_QUAL = 10
+HQ_SOFTCLIP_QUAL_THRESHOLD = 28
+HQ_BASES_THRESHOLD = 6.0
+MAX_PROB_DISTANCE = 100.0
+RC_SNP_P = 0.01
+RC_REF_P = 10.0
+MAX_QUAL_BIN = 64
+
+_LOG10_E = math.log10(math.e)
+
+
+def _log10_binom(n, k):
+    return (math.lgamma(n + 1) - math.lgamma(k + 1)
+            - math.lgamma(n - k + 1)) * _LOG10_E
+
+
+def genotype_cache(ploidy=2):
+    """(2, 64, ploidy+1) cache of per-base genotype log-likelihood terms
+    (HcActiveBase.h:152-179). Status 0 = variant evidence, 1 = reference."""
+    q = np.arange(MAX_QUAL_BIN, dtype=np.float64)
+    err = 10.0 ** (-q / 10.0)
+    prob_log10 = np.log10(np.maximum(1.0 - err, 1e-300))
+    err_log10 = -q / 10.0
+    third = math.log10(1.0 / 3.0)
+    lp = math.log10(ploidy)
+
+    cache = np.zeros((2, MAX_QUAL_BIN, ploidy + 1))
+    for status in range(2):
+        if status == 0:  # variant base
+            ref_lik = err_log10 + third
+            nonref_lik = prob_log10
+        else:            # reference base
+            ref_lik = prob_log10
+            nonref_lik = err_log10 + third
+        cache[status, :, 0] = ref_lik + lp
+        cache[status, :, ploidy] = nonref_lik + lp
+        for g in range(1, ploidy):
+            a = ref_lik + math.log10(ploidy - g)
+            b = nonref_lik + math.log10(g)
+            m = np.maximum(a, b)
+            cache[status, :, g] = m + np.log10(10.0 ** (a - m) + 10.0 ** (b - m))
+    return cache
+
+
+_PRIOR_CACHE = {}
+
+
+def _genotype_prior(ploidy):
+    """log10 prior term added per genotype
+    (compute_biallelic_non_ref_posterior, HcActiveBase.cpp:265-283)."""
+    if ploidy not in _PRIOR_CACHE:
+        g = np.arange(ploidy + 1, dtype=np.float64)
+        prior = np.array([
+            _log10_binom(ploidy, int(i))
+            + (math.lgamma(i + RC_SNP_P) + math.lgamma(ploidy - i + RC_REF_P))
+            * _LOG10_E
+            for i in g])
+        _PRIOR_CACHE[ploidy] = prior
+    return _PRIOR_CACHE[ploidy]
+
+
+def high_quality_soft_clips(read):
+    """Count of soft-clipped bases with qual > 28 (HcActiveBase.cpp:14-34)."""
+    n = 0
+    qpos = 0
+    for op, length in read.cigar:
+        if op == CigarOp.S:
+            n += int(np.sum(read.quals[qpos:qpos + length]
+                            > HQ_SOFTCLIP_QUAL_THRESHOLD))
+        if op in (CigarOp.M, CigarOp.I, CigarOp.S, CigarOp.EQ, CigarOp.X):
+            qpos += length
+    return n
+
+
+def adaptor_boundary(read):
+    """Mate-adaptor boundary, or None (HcActiveBase.cpp:48-68)."""
+    r = read
+    if (r.tlen == 0 or not r.is_paired or (r.flag & 0x8) or r.is_unmapped
+            or (r.is_reverse == bool(r.flag & 0x20))):
+        return None
+    if r.is_reverse:
+        if r.end <= r.mate_pos:
+            return None
+        return r.mate_pos  # 0-based mate start
+    else:
+        if r.pos > r.mate_pos + r.tlen:
+            return None
+        return r.pos + 1 + abs(r.tlen)
+
+
+def _base_inside_adaptor(read, pos1, boundary):
+    """pos1 is 1-based (HcActiveBase.cpp:36-42)."""
+    if boundary is None or read.tlen > 100:
+        return False
+    if read.is_reverse:
+        return pos1 <= boundary
+    return pos1 >= boundary
+
+
+@dataclasses.dataclass
+class ActivityWindow:
+    """Histograms + soft-clip stats over [start, end) for one contig."""
+    start: int
+    end: int
+    hist: np.ndarray       # (2, L, 64) int32: [variant/ref][pos][qual]
+    hq_sum: np.ndarray     # (L,) float64: sum of hq-softclip counts
+    hq_n: np.ndarray       # (L,) int64
+
+
+def accumulate_read(win, read, ref):
+    """Classify each base of `read` into the window histograms
+    (process_bam_to_slot, HcActiveBase.cpp:96-188). `ref` is the full contig
+    sequence as bytes."""
+    bound = adaptor_boundary(read)
+    hq_soft = None  # computed lazily
+    pos = read.pos
+    qpos = 0
+    L = win.end - win.start
+    elems = read.cigar.elements
+    n_elems = len(elems)
+    for ci, (op, length) in enumerate(elems):
+        consumes_ref = op in (CigarOp.M, CigarOp.D, CigarOp.N, CigarOp.EQ,
+                              CigarOp.X)
+        consumes_query = op in (CigarOp.M, CigarOp.I, CigarOp.S, CigarOp.EQ,
+                                CigarOp.X)
+        if consumes_ref:
+            prev_op = elems[ci - 1][0] if ci > 0 else None
+            next_op = elems[ci + 1][0] if ci < n_elems - 1 else None
+            if op == CigarOp.D:
+                for k in range(length):
+                    p = pos + k
+                    off = p - win.start
+                    if not (0 <= off < L):
+                        continue
+                    if _base_inside_adaptor(read, p + 1, bound):
+                        continue
+                    win.hist[0, off, REF_MODEL_DELETION_QUAL] += 1
+            else:
+                for k in range(length):
+                    p = pos + k
+                    off = p - win.start
+                    if not (0 <= off < L):
+                        continue
+                    if _base_inside_adaptor(read, p + 1, bound):
+                        continue
+                    bq = min(int(read.quals[qpos + k]), MAX_QUAL_BIN - 1)
+                    base = read.bases[qpos + k]
+                    is_snp = base != ref[p]
+                    first, last = k == 0, k == length - 1
+                    if (first and prev_op == CigarOp.S) or (
+                            last and next_op == CigarOp.S):
+                        if int(read.quals[qpos + k]) > MIN_BASE_QUAL:
+                            if hq_soft is None:
+                                hq_soft = high_quality_soft_clips(read)
+                            win.hq_sum[off] += hq_soft
+                            win.hq_n[off] += 1
+                        win.hist[0, off, bq] += 1
+                    elif (is_snp
+                          or (first and prev_op in (CigarOp.I, CigarOp.D))
+                          or (last and next_op in (CigarOp.I, CigarOp.D))):
+                        win.hist[0, off, bq] += 1
+                    else:
+                        win.hist[1, off, bq] += 1
+        if consumes_ref:
+            pos += length
+        if consumes_query:
+            qpos += length
+
+
+def compute_activity(win, ploidy=C.SAMPLE_PLOIDY):
+    """Per-position non-ref posterior + smear repeat factor.
+
+    Returns (activity (L,) float64, repeat (L,) int32). Vectorized
+    reimplementation of compute_genotype_PL / compute_biallelic_non_ref_
+    posterior / compute_extension_length (HcActiveBase.cpp:190-296).
+    """
+    cache = genotype_cache(ploidy)
+    hist = win.hist.astype(np.float64)
+    # quals <= MIN_BASE_QUAL are excluded (compute_genotype_PL min_qual)
+    hist[:, :, : MIN_BASE_QUAL + 1] = 0.0
+    counts = hist.sum(axis=(0, 2))                      # (L,)
+    gl = np.einsum("sLq,sqg->Lg", hist, cache)          # (L, ploidy+1)
+    gl -= counts[:, None] * math.log10(ploidy)
+
+    # PL quantization
+    best = gl.max(axis=1, keepdims=True)
+    pls = np.round(-10.0 * (gl - best))
+    gl = pls / -10.0
+
+    hom_ref_best = np.argmax(gl, axis=1) == 0
+
+    gl = gl + _genotype_prior(ploidy)[None, :]
+    hom_ref_best |= np.argmax(gl, axis=1) == 0
+
+    # normalize in linear space: activity = 1 - P(hom ref)
+    m = gl.max(axis=1, keepdims=True)
+    lin = 10.0 ** (gl - m)
+    post0 = lin[:, 0] / lin.sum(axis=1)
+    activity = np.where(hom_ref_best | (counts == 0), 0.0, 1.0 - post0)
+
+    hq_mean = np.divide(win.hq_sum, win.hq_n,
+                        out=np.zeros_like(win.hq_sum), where=win.hq_n > 0)
+    repeat = np.where(
+        (activity > 0) & (hq_mean > HQ_BASES_THRESHOLD),
+        2 * np.minimum(MAX_PROB_DISTANCE, hq_mean).astype(np.int64) + 1,
+        1).astype(np.int64)
+    repeat = np.where(activity == 0, 0, repeat)
+    return activity, repeat
+
+
+def gaussian_kernel(filter_size=C.ACTIVITY_FILTER_SIZE,
+                    sigma=C.ACTIVITY_SIGMA):
+    """Normalized Gaussian taps (ActiveRegionEngine.cpp:23-31)."""
+    x = np.arange(2 * filter_size + 1, dtype=np.float64) - filter_size
+    k = np.exp(-x * x / (2.0 * sigma * sigma)) / (math.sqrt(2 * math.pi) * sigma)
+    return k / k.sum()
+
+
+def smooth_activity(activity, repeat, target_mask=None,
+                    filter_size=C.ACTIVITY_FILTER_SIZE,
+                    sigma=C.ACTIVITY_SIGMA):
+    """Band-pass: each site contributes repeat*value*kernel to +-filter_size
+    neighbors (incorporate_status, ActiveRegionEngine.cpp:75-122).
+
+    In WES mode (target_mask given) the smear stops at the first off-target
+    position walking out from the site in each direction.
+    """
+    kernel = gaussian_kernel(filter_size, sigma)
+    weighted = activity * repeat
+    if target_mask is None:
+        return np.convolve(weighted, kernel, mode="same")
+
+    L = activity.shape[0]
+    out = np.zeros(L)
+    for i in np.nonzero(weighted > 0)[0]:
+        w = weighted[i]
+        # walk left then right, stopping at off-target positions
+        out[i] += w * kernel[filter_size]
+        for d in range(1, filter_size + 1):
+            j = i - d
+            if j < 0 or not target_mask[j]:
+                break
+            out[j] += w * kernel[filter_size - d]
+        for d in range(1, filter_size + 1):
+            j = i + d
+            if j >= L or not target_mask[j]:
+                break
+            out[j] += w * kernel[filter_size + d]
+    return out
+
+
+@dataclasses.dataclass
+class RawRegion:
+    contig: str
+    start: int        # 0-based inclusive
+    end: int          # 0-based inclusive (reference convention)
+    is_active: bool
+
+    @property
+    def span(self):
+        return self.end - self.start + 1
+
+
+def _find_best_cut(probs, start, pos, min_size, max_size, track_end):
+    """Best local-minimum split for an oversized active run
+    (find_best_suite, ActiveRegionEngine.cpp:124-137). `probs` indexed by
+    absolute position - track offset handled by caller; here probs is the
+    full window array and positions are window-relative."""
+    min_p = np.inf
+    min_i = max_size - 1
+    j = 0
+    for i in range(max_size - 1, min_size - 2, -1):
+        p = pos - j
+        curr = probs[p]
+        nxt = probs[p + 1] if p + 1 <= track_end else np.inf
+        prv = probs[p - 1] if p - 1 >= 0 else np.inf
+        if curr < min_p and p + 1 <= track_end and curr <= nxt and curr < prv:
+            min_i = i
+            min_p = curr
+        j += 1
+    return min_i
+
+
+def cut_regions(probs, contig, window_start, emit_inactive,
+                target_mask=None,
+                threshold=C.ACTIVE_PROB_THRESHOLD,
+                min_size=C.REGION_MIN_SIZE,
+                max_size=C.REGION_MAX_SIZE):
+    """Threshold + cut the smoothed track into regions
+    (pop_active_region, ActiveRegionEngine.cpp:195-260).
+
+    emit_inactive=True (GVCF / force_non_active) also emits inactive runs.
+    Returns a list of RawRegion with absolute coordinates.
+    """
+    L = probs.shape[0]
+    is_active = probs > threshold
+    track_end = L - 1
+    regions = []
+    cur_start = None
+    cur_active = None
+    pos = 0
+    while pos < L:
+        a = bool(is_active[pos])
+        in_target = target_mask is None or target_mask[pos]
+        if not in_target:
+            if cur_start is not None:
+                regions.append(RawRegion(contig, window_start + cur_start,
+                                         window_start + pos - 1, cur_active))
+                cur_start = None
+        elif cur_start is None:
+            if emit_inactive or a:
+                cur_start, cur_active = pos, a
+        elif a != cur_active:
+            regions.append(RawRegion(contig, window_start + cur_start,
+                                     window_start + pos - 1, cur_active))
+            cur_start, cur_active = (pos, a) if emit_inactive or a else (None, None)
+        else:
+            run = pos - cur_start + 1
+            if run >= max_size:
+                if cur_active:
+                    split = _find_best_cut(probs, cur_start, pos, min_size,
+                                           max_size, track_end)
+                    split += cur_start
+                    if split < pos:
+                        regions.append(RawRegion(
+                            contig, window_start + cur_start,
+                            window_start + split, True))
+                        cur_start = split + 1
+                    else:
+                        regions.append(RawRegion(
+                            contig, window_start + cur_start,
+                            window_start + pos, True))
+                        cur_start = None
+                else:
+                    regions.append(RawRegion(contig, window_start + cur_start,
+                                             window_start + pos, False))
+                    cur_start = None
+        pos += 1
+    if cur_start is not None:
+        regions.append(RawRegion(contig, window_start + cur_start,
+                                 window_start + L - 1, cur_active))
+    return regions
+
+
+def find_active_regions(reads, ref, contig, start, end, emit_inactive=False,
+                        target_mask=None, ploidy=C.SAMPLE_PLOIDY):
+    """End-to-end: reads + reference window -> list of RawRegion."""
+    L = end - start
+    win = ActivityWindow(start=start, end=end,
+                         hist=np.zeros((2, L, MAX_QUAL_BIN), dtype=np.int32),
+                         hq_sum=np.zeros(L), hq_n=np.zeros(L, dtype=np.int64))
+    for read in reads:
+        accumulate_read(win, read, ref)
+    activity, repeat = compute_activity(win, ploidy)
+    probs = smooth_activity(activity, repeat, target_mask)
+    return cut_regions(probs, contig, start, emit_inactive, target_mask)
