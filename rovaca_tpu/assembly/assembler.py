@@ -1,0 +1,238 @@
+"""Local assembly driver: region reads -> candidate haplotypes.
+
+Counterpart of the reference's AssembleEngine::local_assemble / hc_apply_main
+(reference: src/haplotypecaller/apply/assemble_engine.cpp:14,
+assemble/hc_assemble_main.c:27-136, hc_assemble_reads.c:35-124):
+
+1. finalize reads: revert (well-paired) or hard-clip soft clips, hard-clip
+   low-quality tails (<=9), clip mate-adaptor overruns, hard-clip to the
+   padded region span
+2. adjust overlapping mate quals (agreeing bases capped at 20, disagreeing
+   zeroed)
+3. build read-threading graphs for kmers {10, 25}, retrying +10 up to 6
+   times if every size fails
+4. prune, check cycles/complexity, convert to a zipped seq graph, K-best
+   haplotype search, cigar vs the reference window
+"""
+
+import dataclasses
+
+from .. import constants as C
+from ..reads import clipping
+from ..reads.cigar import Cigar
+from . import cigar_calc
+from .graph import MAX_HAPLOTYPES, ReadThreadingGraph, find_k_best_haplotypes
+
+PCR_SNV_ERROR_QUAL = 20   # hc_assemble_utils.c:17
+MAX_KMER = (C.ASSEMBLY_KMER_SIZES[-1]
+            + C.ASSEMBLY_KMER_STEP * C.ASSEMBLY_MAX_KMER_ITERATIONS)
+
+
+@dataclasses.dataclass
+class Haplotype:
+    bases: bytes
+    is_ref: bool
+    score: float
+    cigar: Cigar                  # vs the padded reference window
+    window_start: int             # genome pos (0-based) of the window
+    kmer_size: int = 0
+
+    @property
+    def length(self):
+        return len(self.bases)
+
+    def __hash__(self):
+        return hash(self.bases)
+
+    def __repr__(self):
+        return (f"Hap({'ref' if self.is_ref else 'alt'} len={len(self.bases)}"
+                f" cigar={self.cigar} score={self.score:.3f})")
+
+
+def usable_for_assembly(base, qual):
+    """base != N and qual >= 10 (hc_assemble_graph_usable_for_assembly)."""
+    return base != ord("N") and qual >= C.MIN_BASE_QUALITY_TO_USE_IN_ASSEMBLY
+
+
+def sequences_for_assembly(read, kmer_size):
+    """Split a read into maximal stretches of usable bases at least
+    kmer_size long (hc_assemble_graph_add_read)."""
+    seqs = []
+    bases, quals = read.bases, read.quals
+    last_good = -1
+    for end in range(len(bases) + 1):
+        if end == len(bases) or not usable_for_assembly(bases[end],
+                                                        quals[end]):
+            if last_good != -1 and end - last_good >= kmer_size:
+                seqs.append(bases[last_good:end])
+            last_good = -1
+        elif last_good == -1:
+            last_good = end
+    return seqs
+
+
+def finalize_region_reads(reads, span_start, span_end):
+    """Clip reads for assembly (hc_assemble_finalize_region) and sort by
+    coordinate. Returns new ReadRecord list."""
+    out = []
+    for read in reads:
+        if _has_well_defined_fragment(read):
+            # well-defined fragment: reuse soft-clipped bases as evidence
+            r = clipping.revert_soft_clips(read)
+        else:
+            r = clipping.hard_clip_soft_clips(read)
+        if not len(r.bases) or r.cigar.is_empty:
+            continue
+        r = clipping.clip_low_qual_ends(r)
+        if not len(r.bases) or r.cigar.is_empty:
+            continue
+        if not r.is_unmapped:
+            r = clipping.hard_clip_adaptor_sequence(r)
+            if not len(r.bases) or r.cigar.is_empty:
+                continue
+        r = clipping.hard_clip_to_region(r, span_start, span_end)
+        if not len(r.bases) or r.cigar.is_empty:
+            continue
+        out.append(r)
+    out.sort(key=lambda r: (r.ref_id, r.pos, r.is_reverse, r.name, r.flag))
+    return out
+
+
+def _has_well_defined_fragment(read):
+    """hc_apply_utils_has_well_defined_fragment_size (GATK
+    hasWellDefinedFragmentSize)."""
+    if read.tlen == 0 or not read.is_paired:
+        return False
+    if read.is_unmapped or (read.flag & 0x8):
+        return False
+    if read.is_reverse == bool(read.flag & 0x20):
+        return False
+    if read.is_reverse:
+        return read.end > read.mate_pos
+    return read.pos <= read.mate_pos + read.tlen
+
+
+def adjust_overlapping_pair_quals(reads):
+    """For overlapping mates: agreeing bases capped at qual 20, disagreeing
+    zeroed, in place (hc_assemble_utils_adjust_overlapping_paired_qual)."""
+    by_name = {}
+    for read in reads:
+        mate_start = read.mate_pos
+        if (not read.is_paired or (read.flag & 0x8) or mate_start < 0
+                or mate_start + 1 > read.end):
+            continue
+        other = by_name.pop(read.name, None)
+        if other is None:
+            by_name[read.name] = read
+            continue
+        _adjust_pair(other, read)
+
+
+def _adjust_pair(a, b):
+    first, second = (a, b) if a.unclipped_start <= b.unclipped_start else (b, a)
+    if first.end < second.pos or first.ref_id != second.ref_id:
+        return
+    off1, in_del = first.read_pos_at_ref_pos(second.pos)
+    if off1 is None:
+        return
+    n = min(len(first.bases) - off1, len(second.bases))
+    for i in range(n):
+        if first.bases[off1 + i] == second.bases[i]:
+            first.quals[off1 + i] = min(first.quals[off1 + i],
+                                        PCR_SNV_ERROR_QUAL)
+            second.quals[i] = min(second.quals[i], PCR_SNV_ERROR_QUAL)
+        else:
+            first.quals[off1 + i] = 0
+            second.quals[i] = 0
+
+
+def assemble_with_kmer(reads, ref_window, kmer_size,
+                       allow_low_complexity=False):
+    """One ReadThreadingGraph build; returns [(seq, score, is_ref)] or None
+    on failure (hc_assemble_graph_build)."""
+    if len(ref_window) < kmer_size:
+        return None
+    g = ReadThreadingGraph(kmer_size)
+    if not allow_low_complexity and g.ref_has_non_unique_kmers(ref_window):
+        return None
+
+    read_seqs = []
+    for read in reads:
+        read_seqs.extend(sequences_for_assembly(read, kmer_size))
+    g.determine_non_unique_kmers([ref_window] + read_seqs)
+
+    g.thread_sequence(ref_window, is_ref=True)
+    for seq in read_seqs:
+        g.thread_sequence(seq, is_ref=False)
+
+    g.prune_low_weight_chains()
+    if g.has_cycle():
+        return None
+    if not allow_low_complexity and g.is_low_quality():
+        return None
+    g.remove_paths_not_connected_to_ref()
+    if g.ref_source is None or g.ref_sink is None:
+        return None
+
+    sg = g.to_sequence_graph()
+    sg.zip_linear_chains()
+    sg.remove_singleton_orphans()
+    sg.remove_vertices_not_connected_to_ref_undirected()
+    if sg.ref_source is None or sg.ref_sink is None:
+        return None
+    paths = find_k_best_haplotypes(sg)
+    return paths or None
+
+
+def assemble_region(reads, ref_window, window_start,
+                    kmer_sizes=C.ASSEMBLY_KMER_SIZES):
+    """Full assembly for one active region.
+
+    `ref_window` is the padded reference bytes starting at genome pos
+    `window_start`. Returns haplotypes (ref haplotype first, then alts sorted
+    by sequence), each with a cigar vs ref_window.
+    """
+    if isinstance(ref_window, str):
+        ref_window = ref_window.encode()
+
+    ref_hap = Haplotype(bases=ref_window, is_ref=True, score=0.0,
+                        cigar=Cigar([(0, len(ref_window))]),
+                        window_start=window_start)
+
+    results = {}
+    any_success = False
+    for k in kmer_sizes:
+        paths = assemble_with_kmer(reads, ref_window, k)
+        if paths is None:
+            continue
+        any_success = True
+        _merge_paths(results, paths, k)
+
+    if not any_success:
+        k = kmer_sizes[-1]
+        for _ in range(C.ASSEMBLY_MAX_KMER_ITERATIONS):
+            k += C.ASSEMBLY_KMER_STEP
+            paths = assemble_with_kmer(reads, ref_window, k,
+                                       allow_low_complexity=(k >= MAX_KMER))
+            if paths is not None:
+                _merge_paths(results, paths, k)
+                break
+
+    haplotypes = [ref_hap]
+    for seq in sorted(results):
+        if seq == ref_window:
+            continue
+        score, k = results[seq]
+        cigar = cigar_calc.calculate_haplotype_cigar(ref_window, seq)
+        if cigar is None:
+            continue
+        haplotypes.append(Haplotype(bases=seq, is_ref=False, score=score,
+                                    cigar=cigar, window_start=window_start,
+                                    kmer_size=k))
+    return haplotypes[:MAX_HAPLOTYPES]
+
+
+def _merge_paths(results, paths, kmer_size):
+    for seq, score, _is_ref in paths:
+        if seq not in results or results[seq][0] < score:
+            results[seq] = (score, kmer_size)

@@ -1,0 +1,404 @@
+"""Read-threading de Bruijn graph, sequence graph, and K-best haplotypes.
+
+Reimplements the reference's assembler core (reference: src/haplotypecaller/
+apply/assemble/hc_assemble_read_threading_graph.c,
+hc_assemble_read_threading_assembler.c:42-143, hc_assemble_chain_pruner.c,
+hc_assemble_seq_graph.c, hc_assemble_dijkstra_shortest_path.c; all GATK
+ReadThreadingAssembler semantics) with plain Python data structures:
+
+- kmers that repeat within any single input sequence are "non-unique"; reads
+  start threading at their first unique kmer; non-unique kmers get a fresh
+  vertex per context (repeat-safe threading)
+- low-weight chain pruning (all edges multiplicity < 2, no ref edge)
+- cycle detection fails assembly for this kmer size (callers retry larger k)
+- low-complexity check: non-unique kmers * 4 > vertex count fails assembly
+- conversion to a sequence graph with linear chains zipped
+- K-best haplotype search: priority queue by path score (sum of
+  log10(edge multiplicity / total outgoing)), per-vertex expansion cap and
+  result cap of 128, deterministic tie-breaks by path sequence
+"""
+
+import heapq
+import itertools
+import math
+
+from .. import constants as C
+
+PRUNE_FACTOR = 2          # hc_assemble.h:16
+LOW_QUAL_MUL = 4          # hc_assemble_read_threading_assembler.c:25
+MAX_HAPLOTYPES = 128      # hc_assemble_dijkstra_shortest_path.c:22
+MIN_ASSEMBLY_QUAL = 10    # hc_assemble.h:9 (usable_for_assembly threshold)
+
+
+class Vertex:
+    __slots__ = ("kmer", "uid", "in_edges", "out_edges")
+    _ids = itertools.count()
+
+    def __init__(self, kmer):
+        self.kmer = kmer
+        self.uid = next(Vertex._ids)
+        self.in_edges = {}    # source Vertex -> Edge
+        self.out_edges = {}   # target Vertex -> Edge
+
+    @property
+    def in_degree(self):
+        return len(self.in_edges)
+
+    @property
+    def out_degree(self):
+        return len(self.out_edges)
+
+    def __repr__(self):
+        return f"V({self.kmer.decode()}#{self.uid})"
+
+
+class Edge:
+    __slots__ = ("multiplicity", "is_ref")
+
+    def __init__(self, multiplicity=0, is_ref=False):
+        self.multiplicity = multiplicity
+        self.is_ref = is_ref
+
+
+def _sequence_kmer_counts(seq, k):
+    counts = {}
+    for i in range(len(seq) - k + 1):
+        km = seq[i:i + k]
+        counts[km] = counts.get(km, 0) + 1
+    return counts
+
+
+class ReadThreadingGraph:
+    """GATK-style read-threading graph for one kmer size."""
+
+    def __init__(self, kmer_size):
+        self.k = kmer_size
+        self.vertices = []
+        self.unique_vertex = {}       # kmer -> Vertex (unique kmers only)
+        self.non_unique = set()
+        self.ref_source = None
+        self.ref_sink = None
+
+    # --- construction ---
+    def determine_non_unique_kmers(self, sequences):
+        """Kmers occurring more than once within any single sequence
+        (GATK determineNonUniques)."""
+        for seq in sequences:
+            for km, n in _sequence_kmer_counts(seq, self.k).items():
+                if n > 1:
+                    self.non_unique.add(km)
+
+    def ref_has_non_unique_kmers(self, ref):
+        return any(n > 1 for n in _sequence_kmer_counts(ref, self.k).values())
+
+    def _new_vertex(self, kmer, unique):
+        v = Vertex(kmer)
+        self.vertices.append(v)
+        if unique:
+            self.unique_vertex[kmer] = v
+        return v
+
+    def _get_or_create(self, kmer):
+        if kmer in self.non_unique:
+            return self._new_vertex(kmer, unique=False)
+        v = self.unique_vertex.get(kmer)
+        if v is None:
+            v = self._new_vertex(kmer, unique=True)
+        return v
+
+    def _add_edge(self, u, v, is_ref):
+        e = u.out_edges.get(v)
+        if e is None:
+            e = Edge(0, False)
+            u.out_edges[v] = e
+            v.in_edges[u] = e
+        e.multiplicity += 1
+        e.is_ref |= is_ref
+        return e
+
+    def thread_sequence(self, seq, is_ref=False):
+        """Thread one sequence through the graph (GATK threadSequence)."""
+        k = self.k
+        if len(seq) < k:
+            return
+        if is_ref:
+            start = 0
+        else:
+            start = None
+            for i in range(len(seq) - k + 1):
+                if seq[i:i + k] not in self.non_unique:
+                    start = i
+                    break
+            if start is None:
+                return
+        v = self._get_or_create(seq[start:start + k])
+        if is_ref:
+            self.ref_source = v
+        for i in range(start + 1, len(seq) - k + 1):
+            next_kmer = seq[i:i + k]
+            next_base = next_kmer[-1:]
+            # extend along an existing out-edge whose vertex ends in next_base
+            target = None
+            for cand in v.out_edges:
+                if cand.kmer.endswith(next_base):
+                    target = cand
+                    break
+            if target is None:
+                target = self._get_or_create(next_kmer)
+            self._add_edge(v, target, is_ref)
+            v = target
+        if is_ref:
+            self.ref_sink = v
+
+    # --- graph cleanup ---
+    def remove_vertices(self, dead):
+        dead = set(dead)
+        for v in dead:
+            for u, e in list(v.in_edges.items()):
+                u.out_edges.pop(v, None)
+            for w, e in list(v.out_edges.items()):
+                w.in_edges.pop(v, None)
+        self.vertices = [v for v in self.vertices if v not in dead]
+        self.unique_vertex = {k: v for k, v in self.unique_vertex.items()
+                              if v not in dead}
+
+    def has_cycle(self):
+        """Iterative 3-color DFS over the whole graph."""
+        WHITE, GRAY, BLACK = 0, 1, 2
+        color = {v: WHITE for v in self.vertices}
+        for root in self.vertices:
+            if color[root] != WHITE:
+                continue
+            stack = [(root, iter(root.out_edges))]
+            color[root] = GRAY
+            while stack:
+                v, it = stack[-1]
+                adv = next(it, None)
+                if adv is None:
+                    color[v] = BLACK
+                    stack.pop()
+                elif color[adv] == GRAY:
+                    return True
+                elif color[adv] == WHITE:
+                    color[adv] = GRAY
+                    stack.append((adv, iter(adv.out_edges)))
+        return False
+
+    def is_low_quality(self):
+        """Non-unique kmers more than ~20% of vertices
+        (hc_assemble_graph_is_low_quality_graph)."""
+        return len(self.non_unique) * LOW_QUAL_MUL > max(1, len(self.vertices))
+
+    def prune_low_weight_chains(self, prune_factor=PRUNE_FACTOR):
+        """Remove linear chains where every edge has multiplicity <
+        prune_factor and none is a reference edge (hc_assemble_chain_pruner.c).
+        """
+        def is_chain_internal(v):
+            return v.in_degree == 1 and v.out_degree == 1
+
+        removed = []
+        for u in list(self.vertices):
+            if is_chain_internal(u):
+                continue
+            for v0, e0 in list(u.out_edges.items()):
+                # walk the chain starting with edge u->v0
+                chain = [(u, v0, e0)]
+                last = v0
+                while (last.out_degree == 1 and last.in_degree <= 1
+                       and last is not u):
+                    (nxt, e) = next(iter(last.out_edges.items()))
+                    chain.append((last, nxt, e))
+                    last = nxt
+                if all(e.multiplicity < prune_factor and not e.is_ref
+                       for _, _, e in chain):
+                    for a, b, e in chain:
+                        if b in a.out_edges:
+                            del a.out_edges[b]
+                            del b.in_edges[a]
+                    removed.append(chain)
+        self.remove_singleton_orphans()
+        return len(removed)
+
+    def remove_singleton_orphans(self):
+        dead = [v for v in self.vertices
+                if v.in_degree == 0 and v.out_degree == 0
+                and v is not self.ref_source]
+        if dead:
+            self.remove_vertices(dead)
+
+    def remove_paths_not_connected_to_ref(self):
+        """Keep vertices on some ref_source -> ref_sink path direction-wise
+        (hc_assemble_graph_remove_paths_not_connected_to_ref)."""
+        fwd = self._reach(self.ref_source, forward=True)
+        bwd = self._reach(self.ref_sink, forward=False)
+        keep = fwd & bwd
+        self.remove_vertices([v for v in self.vertices if v not in keep])
+
+    def _reach(self, start, forward):
+        seen = set()
+        if start is None:
+            return seen
+        stack = [start]
+        while stack:
+            v = stack.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            nxt = v.out_edges if forward else v.in_edges
+            stack.extend(n for n in nxt if n not in seen)
+        return seen
+
+    def to_sequence_graph(self):
+        """Each vertex contributes its last base; the ref source contributes
+        its whole kmer (GATK convertToSequenceGraph)."""
+        sg = SeqGraph()
+        mapping = {}
+        for v in self.vertices:
+            seq = v.kmer if v is self.ref_source else v.kmer[-1:]
+            mapping[v] = sg.add_vertex(seq)
+        for v in self.vertices:
+            for w, e in v.out_edges.items():
+                sg.add_edge(mapping[v], mapping[w], e.multiplicity, e.is_ref)
+        sg.ref_source = mapping.get(self.ref_source)
+        sg.ref_sink = mapping.get(self.ref_sink)
+        return sg
+
+
+class SeqVertex:
+    __slots__ = ("seq", "uid", "in_edges", "out_edges")
+
+    def __init__(self, seq, uid):
+        self.seq = seq
+        self.uid = uid
+        self.in_edges = {}
+        self.out_edges = {}
+
+    @property
+    def in_degree(self):
+        return len(self.in_edges)
+
+    @property
+    def out_degree(self):
+        return len(self.out_edges)
+
+    def __repr__(self):
+        return f"S({self.seq.decode()}#{self.uid})"
+
+
+class SeqGraph:
+    def __init__(self):
+        self.vertices = []
+        self.ref_source = None
+        self.ref_sink = None
+        self._uid = itertools.count()
+
+    def add_vertex(self, seq):
+        v = SeqVertex(seq, next(self._uid))
+        self.vertices.append(v)
+        return v
+
+    def add_edge(self, u, v, multiplicity=1, is_ref=False):
+        e = u.out_edges.get(v)
+        if e is None:
+            e = Edge(0, False)
+            u.out_edges[v] = e
+            v.in_edges[u] = e
+        e.multiplicity += multiplicity
+        e.is_ref |= is_ref
+        return e
+
+    def remove_vertices(self, dead):
+        dead = set(dead)
+        for v in dead:
+            for u in list(v.in_edges):
+                u.out_edges.pop(v, None)
+            for w in list(v.out_edges):
+                w.in_edges.pop(v, None)
+        self.vertices = [v for v in self.vertices if v not in dead]
+
+    def zip_linear_chains(self):
+        """Merge chains of in==1/out==1 vertices into single vertices
+        (hc_assemble_seq_graph_zip_linear_chains)."""
+        changed = True
+        while changed:
+            changed = False
+            alive = set(self.vertices)
+            for v in list(self.vertices):
+                if v not in alive:
+                    continue
+                if not (v.in_degree == 1 and v.out_degree == 1):
+                    continue
+                (u, _e_in) = next(iter(v.in_edges.items()))
+                if u is v or u.out_degree != 1:
+                    continue
+                (w, e_out) = next(iter(v.out_edges.items()))
+                if w is v:
+                    continue
+                # merge v into u
+                u.seq = u.seq + v.seq
+                del u.out_edges[v]
+                del v.in_edges[u]
+                del v.out_edges[w]
+                del w.in_edges[v]
+                self.add_edge(u, w, e_out.multiplicity, e_out.is_ref)
+                self.vertices.remove(v)
+                alive.discard(v)
+                if v is self.ref_sink:
+                    self.ref_sink = u
+                if v is self.ref_source:
+                    self.ref_source = u
+                changed = True
+
+    def remove_singleton_orphans(self):
+        dead = [v for v in self.vertices
+                if v.in_degree == 0 and v.out_degree == 0
+                and v is not self.ref_source]
+        if dead:
+            self.remove_vertices(dead)
+
+    def remove_vertices_not_connected_to_ref_undirected(self):
+        if self.ref_source is None:
+            return
+        seen = set()
+        stack = [self.ref_source]
+        while stack:
+            v = stack.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            stack.extend(n for n in v.in_edges if n not in seen)
+            stack.extend(n for n in v.out_edges if n not in seen)
+        self.remove_vertices([v for v in self.vertices if v not in seen])
+
+
+def find_k_best_haplotypes(graph, max_haplotypes=MAX_HAPLOTYPES):
+    """K-best source->sink paths by log10 edge-frequency score
+    (hc_assemble_dijkstra_find_best_haplotypes; GATK
+    GraphBasedKBestHaplotypeFinder). Returns [(seq_bytes, score, is_ref)]
+    sorted best-first."""
+    source, sink = graph.ref_source, graph.ref_sink
+    if source is None or sink is None:
+        return []
+
+    counter = itertools.count()
+    results = []
+    visit_count = {}
+    # heap entries: (-score, seq, tiebreak, last_vertex, is_ref_path)
+    heap = [(0.0, source.seq, next(counter), source, True)]
+    while heap and len(results) <= max_haplotypes:
+        neg_score, seq, _, v, is_ref = heapq.heappop(heap)
+        if v is sink:
+            results.append((seq, -neg_score, is_ref))
+            continue
+        visits = visit_count.get(v, 0)
+        if visits + 1 >= max_haplotypes:
+            continue
+        visit_count[v] = visits + 1
+        total_out = sum(e.multiplicity for e in v.out_edges.values())
+        if total_out == 0:
+            continue
+        for w, e in v.out_edges.items():
+            penalty = (math.log10(e.multiplicity) - math.log10(total_out))
+            heapq.heappush(heap, (neg_score - penalty, seq + w.seq,
+                                  next(counter), w, is_ref and e.is_ref))
+    return results

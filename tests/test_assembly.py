@@ -1,0 +1,211 @@
+"""Assembly: read-threading graph, K-best haplotypes, cigar calc, clipping."""
+
+import numpy as np
+import pytest
+
+from rovaca_tpu.assembly import assembler, cigar_calc
+from rovaca_tpu.assembly.graph import (ReadThreadingGraph,
+                                       find_k_best_haplotypes)
+from rovaca_tpu.reads import clipping
+from rovaca_tpu.reads.cigar import Cigar, CigarOp
+from rovaca_tpu.reads.record import ReadRecord
+
+
+def make_read(pos, bases, quals=None, cigar=None, flag=0, mapq=60, name=None,
+              mate_pos=-1, tlen=0):
+    if quals is None:
+        quals = [30] * len(bases)
+    if cigar is None:
+        cigar = f"{len(bases)}M"
+    return ReadRecord(name=name or f"r{pos}_{bases[:4]}", flag=flag, ref_id=0,
+                      pos=pos, mapping_quality=mapq, cigar=cigar, bases=bases,
+                      quals=quals, mate_pos=mate_pos, tlen=tlen, contig="chr1")
+
+
+def rng_seq(rng, n):
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+class TestClipping:
+    def test_revert_soft_clips(self):
+        r = make_read(10, "AAACCCGGG", cigar="3S6M")
+        out = clipping.revert_soft_clips(r)
+        assert str(out.cigar) == "9M"
+        assert out.pos == 7
+
+    def test_hard_clip_soft_clips(self):
+        r = make_read(10, "AAACCCGGGTT", cigar="3S6M2S")
+        out = clipping.hard_clip_soft_clips(r)
+        assert out.bases == b"CCCGGG"
+        assert str(out.cigar) == "6M"
+        assert out.pos == 10
+
+    def test_clip_low_qual_ends(self):
+        r = make_read(10, "AACCGGTT", quals=[5, 5, 30, 30, 30, 30, 5, 5])
+        out = clipping.clip_low_qual_ends(r)
+        assert out.bases == b"CCGG"
+        assert out.pos == 12
+        assert str(out.cigar) == "4M"
+
+    def test_clip_to_region(self):
+        r = make_read(10, "A" * 20)
+        out = clipping.hard_clip_to_region(r, 15, 24)
+        assert out.pos == 15
+        assert len(out.bases) == 10
+
+    def test_clip_preserves_deletion(self):
+        r = make_read(10, "A" * 10, cigar="5M3D5M")
+        out = clipping.hard_clip_to_region(r, 12, 19)
+        assert str(out.cigar) == "3M3D2M"
+        assert out.pos == 12
+
+
+class TestGraph:
+    def test_single_snp_two_haplotypes(self, rng=None):
+        rng = np.random.default_rng(5)
+        ref = rng_seq(rng, 80)
+        alt = ref[:40] + ("A" if ref[40] != "A" else "T") + ref[41:]
+        g = ReadThreadingGraph(10)
+        reads = [alt[i:i + 30].encode() for i in range(0, 50, 5)] * 3
+        g.determine_non_unique_kmers([ref.encode()] + reads)
+        g.thread_sequence(ref.encode(), is_ref=True)
+        for s in reads:
+            g.thread_sequence(s)
+        g.prune_low_weight_chains()
+        assert not g.has_cycle()
+        g.remove_paths_not_connected_to_ref()
+        sg = g.to_sequence_graph()
+        sg.zip_linear_chains()
+        paths = find_k_best_haplotypes(sg)
+        seqs = {p[0] for p in paths}
+        assert ref.encode() in seqs
+        assert alt.encode() in seqs
+
+    def test_cycle_detection(self):
+        g = ReadThreadingGraph(3)
+        seq = b"ATGATGATGATG"  # repeats create cycle via non-unique dup? use direct
+        g.thread_sequence(b"ATGCATG" + b"CATG", is_ref=True)
+        # construct explicit cycle
+        # (threading a repetitive ref can create one with unique-kmers off)
+        assert isinstance(g.has_cycle(), bool)
+
+    def test_prune_removes_error_chains(self):
+        rng = np.random.default_rng(6)
+        ref = rng_seq(rng, 60)
+        err = ref[:30] + ("C" if ref[30] != "C" else "G") + ref[31:]
+        g = ReadThreadingGraph(10)
+        reads = [ref.encode()] * 5 + [err.encode()]  # error seen once
+        g.determine_non_unique_kmers([ref.encode()] + reads)
+        g.thread_sequence(ref.encode(), is_ref=True)
+        for s in reads:
+            g.thread_sequence(s)
+        g.prune_low_weight_chains()
+        sg = g.to_sequence_graph()
+        sg.zip_linear_chains()
+        paths = find_k_best_haplotypes(sg)
+        seqs = {p[0] for p in paths}
+        assert err.encode() not in seqs
+        assert ref.encode() in seqs
+
+
+class TestCigarCalc:
+    def test_equal_length_trivial(self):
+        ref = b"ACGTACGTAC"
+        hap = b"ACGTACCTAC"
+        assert str(cigar_calc.calculate_haplotype_cigar(ref, hap)) == "10M"
+
+    def test_deletion_cigar(self):
+        rng = np.random.default_rng(7)
+        ref = rng_seq(rng, 60).encode()
+        hap = ref[:30] + ref[33:]
+        c = cigar_calc.calculate_haplotype_cigar(ref, hap)
+        assert c.reference_length == 60
+        assert c.count(CigarOp.D) == 3
+
+    def test_insertion_cigar(self):
+        rng = np.random.default_rng(8)
+        ref = rng_seq(rng, 60).encode()
+        hap = ref[:30] + b"TTTT" + ref[30:]
+        c = cigar_calc.calculate_haplotype_cigar(ref, hap)
+        assert c.reference_length == 60
+        assert c.count(CigarOp.I) == 4
+
+    def test_left_alignment_of_repeat_deletion(self):
+        # deleting one "AT" from an AT repeat must be left-aligned
+        ref = b"GGGGGC" + b"ATATATAT" + b"CGGGGGTTTTTCACAC"
+        hap = b"GGGGGC" + b"ATATAT" + b"CGGGGGTTTTTCACAC"
+        c = cigar_calc.calculate_haplotype_cigar(ref, hap)
+        # leftmost placement: 6M 2D ...
+        ops = list(c.elements)
+        assert ops[0] == (CigarOp.M, 6)
+        assert ops[1] == (CigarOp.D, 2)
+
+    def test_trim_cigar_by_bases(self):
+        c = Cigar.from_string("10M2D10M")
+        t, lead, trail = cigar_calc.trim_cigar_by_bases(c, 5, 14)
+        assert str(t) == "5M2D5M"
+        assert (lead, trail) == (0, 0)
+        t, lead, trail = cigar_calc.trim_cigar_by_bases(c, 10, 19)
+        assert str(t) == "10M"
+        assert (lead, trail) == (2, 0)
+
+
+class TestAssembleRegion:
+    def _reads_from(self, seq, rng, n=25, rl=36, name_prefix="r"):
+        reads = []
+        for i in range(n):
+            start = int(rng.integers(0, max(1, len(seq) - rl)))
+            frag = seq[start:start + rl]
+            reads.append(make_read(1000 + start, frag,
+                                   quals=[35] * len(frag),
+                                   name=f"{name_prefix}{i}"))
+        return reads
+
+    def test_het_snp(self):
+        rng = np.random.default_rng(11)
+        ref = rng_seq(rng, 120)
+        alt = ref[:60] + ("A" if ref[60] != "A" else "T") + ref[61:]
+        reads = self._reads_from(ref, rng, name_prefix="a") + \
+            self._reads_from(alt, rng, name_prefix="b")
+        haps = assembler.assemble_region(reads, ref, 1000)
+        seqs = {h.bases for h in haps}
+        assert ref.encode() in seqs
+        assert alt.encode() in seqs
+        assert haps[0].is_ref
+        for h in haps:
+            assert h.cigar.query_length == len(h.bases)
+
+    def test_deletion_haplotype(self):
+        rng = np.random.default_rng(12)
+        ref = rng_seq(rng, 120)
+        alt = ref[:60] + ref[64:]
+        reads = self._reads_from(ref, rng, name_prefix="a") + \
+            self._reads_from(alt, rng, name_prefix="b")
+        haps = assembler.assemble_region(reads, ref, 0)
+        alt_haps = [h for h in haps if not h.is_ref]
+        assert any(h.bases == alt.encode() for h in alt_haps)
+        for h in alt_haps:
+            if h.bases == alt.encode():
+                assert h.cigar.count(CigarOp.D) == 4
+
+    def test_no_reads_gives_ref_only(self):
+        rng = np.random.default_rng(13)
+        ref = rng_seq(rng, 100)
+        haps = assembler.assemble_region([], ref, 0)
+        assert len(haps) == 1
+        assert haps[0].is_ref
+
+
+class TestOverlappingQuals:
+    def test_agreeing_bases_capped(self):
+        a = make_read(10, "ACGTACGT", quals=[35] * 8, name="p", flag=0x1 | 0x20,
+                      mate_pos=14, tlen=12)
+        b = make_read(14, "ACGTACGT", quals=[35] * 8, name="p",
+                      flag=0x1 | 0x10, mate_pos=10, tlen=-12)
+        b_bases = list(b.bases)
+        # make overlap agree: a[4:8] vs b[0:4]
+        assembler.adjust_overlapping_pair_quals([a, b])
+        if a.bases[4:8] == b.bases[0:4]:
+            assert max(a.quals[4:8]) <= 20
+            assert max(b.quals[0:4]) <= 20
+        del b_bases
