@@ -1,0 +1,341 @@
+"""Variant annotations: INFO and FORMAT fields.
+
+Counterpart of the reference's annotation suite (reference:
+src/haplotypecaller/genotype/annotation/info/* and format/*,
+variant_annotator_engine.cpp:49-87). VCF-mode INFO set: BaseQRankSum,
+ChromosomeCounts (AC/AF/AN), DP, ExcessHet, FS, MQRankSum, QD, MQ,
+ReadPosRankSum, SOR; GVCF-mode swaps FS/QD/SOR/AC out and emits RAW_MQandDP.
+FORMAT: AD, DP (informative reads), SB (gvcf).
+
+Deviation (documented): rank-sum z-values use the normal approximation with
+tie correction for all sample sizes, where the reference (mann_whitney_u.cpp)
+uses the exact Mann-Whitney distribution for small groups; and QD's
+GATK-random jitter above 35 is replaced by a deterministic cap.
+"""
+
+import math
+
+import numpy as np
+
+from .variant import NON_REF, SPAN_DEL
+
+
+def is_usable_read(read):
+    return read.mapping_quality != 0 and read.mapping_quality != 255
+
+
+def classify_reads(likelihoods):
+    """best-allele classification of informative reads.
+
+    Returns (best_idx, informative) arrays over likelihoods.reads."""
+    best_idx, _, _, informative = likelihoods.best_allele_per_read()
+    return best_idx, informative
+
+
+# --- FORMAT-level -----------------------------------------------------------
+
+def depth_per_allele(call_alleles, likelihoods):
+    """AD (DepthPerAlleleBySample): informative reads per best allele."""
+    best_idx, informative = classify_reads(likelihoods)
+    counts = [0] * len(call_alleles)
+    index_of = {}
+    for i, a in enumerate(likelihoods.alleles):
+        index_of[i] = None
+        for j, ca in enumerate(call_alleles):
+            if a == ca:
+                index_of[i] = j
+                break
+    for r in range(likelihoods.n_reads):
+        if not informative[r]:
+            continue
+        j = index_of.get(int(best_idx[r]))
+        if j is not None:
+            counts[j] += 1
+    return counts
+
+
+def depth_per_sample(likelihoods):
+    """DP (DepthPerSampleHC): count of informative reads."""
+    _, informative = classify_reads(likelihoods)
+    return int(np.sum(informative))
+
+
+def strand_bias_by_sample(call_alleles, likelihoods):
+    """SB: [refFwd, refRev, altFwd, altRev]."""
+    best_idx, informative = classify_reads(likelihoods)
+    table = [0, 0, 0, 0]
+    ref_index = 0
+    for r, read in enumerate(likelihoods.reads):
+        if not informative[r]:
+            continue
+        a = int(best_idx[r])
+        allele = likelihoods.alleles[a]
+        if allele == NON_REF or allele == SPAN_DEL:
+            continue
+        alt = 2 if a != ref_index else 0
+        rev = 1 if read.is_reverse else 0
+        table[alt + rev] += 1
+    return table
+
+
+# --- INFO-level -------------------------------------------------------------
+
+def chromosome_counts(variant):
+    """AC, AF, AN from called genotypes."""
+    an = 0
+    ac = [0] * len(variant.alts)
+    for g in variant.genotypes:
+        for a in g.alleles:
+            if a.bases == b".":
+                continue
+            an += 1
+            for i, alt in enumerate(variant.alts):
+                if a == alt:
+                    ac[i] += 1
+    af = [(c / an if an else 0.0) for c in ac]
+    return ac, af, an
+
+
+def coverage(likelihoods):
+    """DP (Coverage): total reads in the likelihood container."""
+    return likelihoods.n_reads
+
+
+def qual_by_depth(variant, likelihoods):
+    """QD: QUAL / informative depth (QualByDepth). Capped at 35
+    (the reference adds random jitter above; we cap deterministically)."""
+    depth = 0
+    for g in variant.genotypes:
+        if not g.is_called or g.is_hom_ref():
+            continue
+        if g.ad is not None:
+            depth += sum(g.ad)
+        else:
+            depth += depth_per_sample(likelihoods)
+    if depth == 0:
+        return None
+    qd = variant.qual / depth
+    return min(qd, 35.0)
+
+
+def rms_mapping_quality(likelihoods, raw=False):
+    """MQ (RMSMappingQuality): sqrt(mean of squared MQs) over all reads;
+    raw form returns (sum_sq, depth)."""
+    mqs = np.array([r.mapping_quality for r in likelihoods.reads],
+                   dtype=np.float64)
+    if mqs.size == 0:
+        return None
+    sum_sq = float(np.sum(mqs ** 2))
+    if raw:
+        return sum_sq, int(mqs.size)
+    return math.sqrt(sum_sq / mqs.size)
+
+
+def _strand_table(variant, likelihoods):
+    """2x2 [ [refFwd, refRev], [altFwd, altRev] ] over informative reads."""
+    best_idx, informative = classify_reads(likelihoods)
+    table = np.zeros((2, 2), dtype=np.int64)
+    for r, read in enumerate(likelihoods.reads):
+        if not informative[r] or not is_usable_read(read):
+            continue
+        a = int(best_idx[r])
+        allele = likelihoods.alleles[a]
+        if allele == NON_REF or allele == SPAN_DEL:
+            continue
+        row = 0 if a == 0 else 1
+        col = 1 if read.is_reverse else 0
+        table[row, col] += 1
+    return table
+
+
+def fisher_strand(variant, likelihoods):
+    """FS: phred-scaled two-sided Fisher exact p on the strand table."""
+    from scipy.stats import fisher_exact
+    table = _strand_table(variant, likelihoods)
+    if table.sum() == 0:
+        return 0.0
+    _, p = fisher_exact(table)
+    p = max(min(p, 1.0), 1e-320)
+    return round(-10.0 * math.log10(p), 3)
+
+
+def strand_odds_ratio(variant, likelihoods):
+    """SOR (StrandOddsRatio): symmetric odds ratio with pseudocounts."""
+    t = _strand_table(variant, likelihoods).astype(np.float64) + 1.0
+    ratio = (t[0, 0] * t[1, 1]) / (t[0, 1] * t[1, 0]) + \
+            (t[0, 1] * t[1, 0]) / (t[0, 0] * t[1, 1])
+    ref_ratio = min(t[0, 0], t[0, 1]) / max(t[0, 0], t[0, 1])
+    alt_ratio = min(t[1, 0], t[1, 1]) / max(t[1, 0], t[1, 1])
+    ratio = ratio * ref_ratio / alt_ratio
+    return round(math.log(ratio), 3)
+
+
+def _mann_whitney_z(alt_values, ref_values):
+    """Mann-Whitney U z-score, normal approximation with tie correction."""
+    n1, n2 = len(alt_values), len(ref_values)
+    if n1 == 0 or n2 == 0:
+        return None
+    combined = np.concatenate([alt_values, ref_values]).astype(np.float64)
+    order = np.argsort(combined, kind="mergesort")
+    ranks = np.empty_like(combined)
+    sorted_vals = combined[order]
+    i = 0
+    pos = 1.0
+    while i < len(sorted_vals):
+        j = i
+        while j + 1 < len(sorted_vals) and sorted_vals[j + 1] == sorted_vals[i]:
+            j += 1
+        avg_rank = (pos + pos + (j - i)) / 2.0
+        for k in range(i, j + 1):
+            ranks[order[k]] = avg_rank
+        pos += j - i + 1
+        i = j + 1
+    r1 = np.sum(ranks[:n1])
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    mean_u = n1 * n2 / 2.0
+    n = n1 + n2
+    # tie correction
+    _, tie_counts = np.unique(combined, return_counts=True)
+    tie_term = np.sum(tie_counts ** 3 - tie_counts)
+    var_u = n1 * n2 / 12.0 * ((n + 1) - tie_term / (n * (n - 1))) if n > 1 else 0.0
+    if var_u <= 0:
+        return 0.0
+    z = (u1 - mean_u) / math.sqrt(var_u)
+    return round(z, 3)
+
+
+def _per_read_values(variant, likelihoods, kind):
+    """(alt_values, ref_values) for rank-sum tests."""
+    best_idx, informative = classify_reads(likelihoods)
+    alt_vals, ref_vals = [], []
+    loc = variant.start
+    for r, read in enumerate(likelihoods.reads):
+        if not informative[r] or not is_usable_read(read):
+            continue
+        allele = likelihoods.alleles[int(best_idx[r])]
+        if allele == NON_REF or allele == SPAN_DEL:
+            continue
+        if kind == "mq":
+            value = float(read.mapping_quality)
+        else:
+            offset, is_del = read.read_pos_at_ref_pos(loc)
+            if offset is None:
+                continue
+            if kind == "baseq":
+                value = float(read.quals[offset])
+            else:  # readpos
+                value = float(min(offset, len(read.bases) - 1 - offset))
+        (ref_vals if int(best_idx[r]) == 0 else alt_vals).append(value)
+    return np.array(alt_vals), np.array(ref_vals)
+
+
+def rank_sum(variant, likelihoods, kind):
+    alt_vals, ref_vals = _per_read_values(variant, likelihoods, kind)
+    return _mann_whitney_z(alt_vals, ref_vals)
+
+
+def excess_het(variant):
+    """ExcessHet: phred-scaled p of excess heterozygosity (exact test,
+    Wigginton 2005), with the GATK 1-sample default behavior."""
+    het = hom_ref = hom_alt = 0
+    for g in variant.genotypes:
+        if not g.is_called or g.ploidy != 2:
+            continue
+        a, b = g.alleles
+        if a.is_ref and b.is_ref:
+            hom_ref += 1
+        elif a.is_ref != b.is_ref or a != b:
+            het += 1
+        else:
+            hom_alt += 1
+    n = het + hom_ref + hom_alt
+    if n == 0:
+        return None
+    p = _exact_het_p(het, hom_ref, hom_alt)
+    p = max(min(p, 1.0), 1e-320)
+    return round(-10.0 * math.log10(p), 4)
+
+
+def _exact_het_p(obs_het, obs_hom_ref, obs_hom_alt):
+    """P(het >= observed) under HWE (one-sided upper)."""
+    n = obs_het + obs_hom_ref + obs_hom_alt
+    rare = 2 * min(obs_hom_ref, obs_hom_alt) + obs_het
+    # mid het count
+    probs = np.zeros(rare + 1)
+    mid = rare * (2 * n - rare) // (2 * n) if n else 0
+    if mid % 2 != rare % 2:
+        mid += 1
+    probs[mid] = 1.0
+    total = 1.0
+    het = mid
+    hom_r = (rare - mid) // 2
+    hom_c = n - het - hom_r
+    while het > 1:
+        probs[het - 2] = (probs[het] * het * (het - 1.0)
+                          / (4.0 * (hom_r + 1.0) * (hom_c + 1.0)))
+        total += probs[het - 2]
+        het -= 2
+        hom_r += 1
+        hom_c += 1
+    het = mid
+    hom_r = (rare - mid) // 2
+    hom_c = n - het - hom_r
+    while het <= rare - 2:
+        probs[het + 2] = (probs[het] * 4.0 * hom_r * hom_c
+                          / ((het + 2.0) * (het + 1.0)))
+        total += probs[het + 2]
+        het += 2
+        hom_r -= 1
+        hom_c -= 1
+    # mid-p correction (GATK): half the observed bin + everything above
+    p = (0.5 * probs[obs_het]
+         + sum(probs[h] for h in range(obs_het + 1, rare + 1))) / total
+    return min(1.0, p)
+
+
+def annotate_variant(variant, likelihoods, gvcf_mode=False):
+    """Apply the annotation suite in place; returns variant."""
+    info = variant.attributes
+
+    for g in variant.genotypes:
+        g.ad = depth_per_allele(variant.alleles, likelihoods)
+        g.dp = depth_per_sample(likelihoods)
+        if gvcf_mode:
+            g.attributes["SB"] = strand_bias_by_sample(variant.alleles,
+                                                       likelihoods)
+
+    bq = rank_sum(variant, likelihoods, "baseq")
+    if bq is not None:
+        info["BaseQRankSum"] = bq
+    mqrs = rank_sum(variant, likelihoods, "mq")
+    if mqrs is not None:
+        info["MQRankSum"] = mqrs
+    rprs = rank_sum(variant, likelihoods, "readpos")
+    if rprs is not None:
+        info["ReadPosRankSum"] = rprs
+
+    info["DP"] = coverage(likelihoods)
+    eh = excess_het(variant)
+    if eh is not None and not gvcf_mode:
+        info["ExcessHet"] = eh
+
+    if gvcf_mode:
+        raw = rms_mapping_quality(likelihoods, raw=True)
+        if raw is not None:
+            info["RAW_MQandDP"] = [int(raw[0]), raw[1]]
+    else:
+        ac, af, an = chromosome_counts(variant)
+        info["AC"] = ac
+        info["AF"] = [round(x, 3) for x in af]
+        info["AN"] = an
+        mq = rms_mapping_quality(likelihoods)
+        if mq is not None:
+            info["MQ"] = round(mq, 2)
+        qd = qual_by_depth(variant, likelihoods)
+        if qd is not None:
+            info["QD"] = round(qd, 2)
+        info["FS"] = fisher_strand(variant, likelihoods)
+        sor = strand_odds_ratio(variant, likelihoods)
+        if sor is not None:
+            info["SOR"] = sor
+    return variant
