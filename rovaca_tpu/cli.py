@@ -1,0 +1,102 @@
+"""Command-line interface.
+
+Counterpart of the reference's tool framework (reference: src/rovaca_main.cpp,
+src/rovaca_tool.hpp:23-320, rovaca_tool_args.h): a tool registry with
+HaplotypeCaller registered, argument parsing/validation, and run dispatch.
+
+    python -m rovaca_tpu.cli HaplotypeCaller -i in.bam -r ref.fa -o out.vcf
+"""
+
+import argparse
+import sys
+import time
+
+TOOL_REGISTRY = {}
+
+
+def register_tool(name):
+    def deco(fn):
+        TOOL_REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+@register_tool("HaplotypeCaller")
+def run_haplotype_caller(argv):
+    p = argparse.ArgumentParser(
+        prog="rovaca_tpu HaplotypeCaller",
+        description="Germline SNP/INDEL calling via local re-assembly "
+                    "(TPU-accelerated PairHMM)")
+    p.add_argument("-i", "--input", action="append", required=True,
+                   dest="bams", help="input BAM (repeatable)")
+    p.add_argument("-r", "--reference", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-b", "--bed", default=None, help="target intervals BED")
+    p.add_argument("-P", "--interval-padding", type=int, default=0)
+    p.add_argument("-e", "--erc", "--emit-ref-confidence", dest="erc",
+                   default="NONE", choices=["NONE", "GVCF"])
+    p.add_argument("--max-reads-depth", type=int, default=50)
+    p.add_argument("--pcr-indel-model", default="CONSERVATIVE",
+                   choices=["NONE", "HOSTILE", "AGGRESSIVE", "CONSERVATIVE"])
+    p.add_argument("-d", "--dbsnp", default=None)
+    p.add_argument("--bqsr-recal-table", default=None)
+    p.add_argument("--gq-bands", default=None,
+                   help="comma-separated GQ band upper bounds")
+    p.add_argument("-L", "--target-span", default=None,
+                   help="restrict to contig[:start-end] (1-based)")
+    p.add_argument("--pairhmm-engine", default="auto",
+                   choices=["auto", "pallas", "xla"])
+    p.add_argument("--sample-name", default=None)
+    a = p.parse_args(argv)
+
+    import os
+
+    from rovaca_tpu import constants as C
+    from rovaca_tpu.pipeline.caller import HaplotypeCaller, HCArgs
+
+    # file validation (rovaca_tool_args valid_check counterpart)
+    for path in [*a.bams, a.reference] + (
+            [a.bed] if a.bed else []) + ([a.dbsnp] if a.dbsnp else []) + (
+            [a.bqsr_recal_table] if a.bqsr_recal_table else []):
+        if not os.path.exists(path):
+            print(f"error: input file does not exist: {path}",
+                  file=sys.stderr)
+            return 2
+
+    bands = (tuple(int(x) for x in a.gq_bands.split(","))
+             if a.gq_bands else C.DEFAULT_GVCF_GQ_BANDS)
+    args = HCArgs(bam_paths=a.bams, reference_path=a.reference,
+                  output_path=a.output, bed_path=a.bed,
+                  interval_padding=a.interval_padding,
+                  gvcf_mode=(a.erc == "GVCF"), gq_bands=bands,
+                  max_reads_depth=a.max_reads_depth,
+                  pcr_indel_model=a.pcr_indel_model,
+                  dbsnp_path=a.dbsnp, recal_table=a.bqsr_recal_table,
+                  sample_name=a.sample_name,
+                  pairhmm_engine=a.pairhmm_engine,
+                  target_span=a.target_span)
+    t0 = time.time()
+    stats = HaplotypeCaller(args).run()
+    dt = time.time() - t0
+    print(f"[rovaca_tpu] {stats['reads']} reads, {stats['regions']} regions, "
+          f"{stats['calls']} records in {dt:.1f}s", file=sys.stderr)
+    return 0
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: rovaca_tpu <tool> [options]\n\ntools:")
+        for name in TOOL_REGISTRY:
+            print(f"  {name}")
+        return 0 if argv else 2
+    tool = argv[0]
+    if tool not in TOOL_REGISTRY:
+        print(f"unknown tool: {tool}; available: {list(TOOL_REGISTRY)}",
+              file=sys.stderr)
+        return 2
+    return TOOL_REGISTRY[tool](argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -76,6 +76,7 @@ SNP_HETEROZYGOSITY = 1.0e-3
 INDEL_HETEROZYGOSITY = 1.25e-4
 HETEROZYGOSITY_STDEV = 0.01
 SNP_PADDING_FOR_GENOTYPING = 20
+STR_PADDING_FOR_GENOTYPING = 75
 INDEL_PADDING_FOR_GENOTYPING = 75
 STANDARD_CONFIDENCE_VCF = 30.0
 STANDARD_CONFIDENCE_GVCF = 0.0

@@ -91,7 +91,7 @@ def sharded_pairhmm_step(mesh, trans, rbase, rlen, hbase, hlen,
     shard_mapped = jax.shard_map(
         step, mesh=mesh,
         in_specs=(spec, spec, spec, spec, spec),
-        out_specs=(P(), P()))
+        out_specs=(P(), P()), check_vma=False)
     return jax.jit(shard_mapped)(trans, rbase, rlen, hbase, hlen)
 
 

@@ -1,0 +1,113 @@
+"""GVCF hom-ref block combiner.
+
+Counterpart of the reference's BlockCombiner/HomRefBlock (reference:
+src/haplotypecaller/genotype/block_combiner.{h,cpp},
+hom_ref_block.{h,cpp}): consecutive hom-ref sites whose GQ falls in the same
+band merge into one record with END=, MIN_DP, median DP, and the minimum PLs.
+Variant records flush the open block and pass through.
+"""
+
+import numpy as np
+
+from ..genotype.variant import NON_REF
+
+
+class HomRefBlock:
+    def __init__(self, first_vc, band_lo, band_hi):
+        g = first_vc.genotypes[0]
+        self.contig = first_vc.contig
+        self.start = first_vc.start
+        self.stop = first_vc.stop
+        self.ref = first_vc.ref
+        self.sample = g.sample
+        self.band_lo = band_lo
+        self.band_hi = band_hi
+        self.dps = [g.dp or 0]
+        self.min_pls = list(g.pl) if g.pl else None
+        self.genotype = g
+
+    def accepts(self, vc, band_lo):
+        return (vc.contig == self.contig and vc.start == self.stop + 1
+                and band_lo == self.band_lo)
+
+    def add(self, vc):
+        g = vc.genotypes[0]
+        self.stop = vc.stop
+        self.dps.append(g.dp or 0)
+        if g.pl is not None:
+            if self.min_pls is None:
+                self.min_pls = list(g.pl)
+            else:
+                self.min_pls = [min(a, b)
+                                for a, b in zip(self.min_pls, g.pl)]
+
+    def to_variant(self):
+        from ..genotype.variant import Genotype, Variant
+        dp = int(np.median(self.dps))
+        g = Genotype(alleles=[self.ref, self.ref],
+                     pl=self.min_pls, dp=dp,
+                     gq=self.genotype.gq if self.min_pls is None else
+                     _gq(self.min_pls),
+                     sample=self.sample,
+                     attributes={"MIN_DP": int(min(self.dps))})
+        v = Variant(contig=self.contig, start=self.start, stop=self.stop,
+                    alleles=[self.ref, NON_REF], genotypes=[g],
+                    log10_error=1.0)
+        if self.stop > self.start:
+            v.attributes["END"] = self.stop + 1  # 1-based inclusive END
+        else:
+            v.attributes["END"] = self.stop + 1
+        return v
+
+
+def _gq(pls):
+    s = sorted(pls)
+    return min(int(s[1] - s[0]), 99)
+
+
+class BlockCombiner:
+    """Submit records in coordinate order; writes banded hom-ref blocks and
+    passthrough variants (block_combiner.cpp; GQ bands from
+    haplotypecaller.cpp:217-228)."""
+
+    def __init__(self, gq_bands, writer):
+        self.partitions = sorted(set(int(b) for b in gq_bands))
+        self.writer = writer
+        self.block = None
+
+    def _band(self, gq):
+        """(lo, hi) band containing gq; bands are [prev, band)."""
+        gq = min(max(int(gq), 0), 99)
+        prev = 0
+        for b in self.partitions:
+            if gq < b:
+                return prev, b
+            prev = b
+        return prev, 100
+
+    def submit(self, vc):
+        is_hom_ref_block_site = (
+            len(vc.alts) == 1 and vc.alts[0] == NON_REF
+            and vc.genotypes and vc.genotypes[0].is_hom_ref())
+        if not is_hom_ref_block_site:
+            self._flush_block()
+            self.writer.write(vc)
+            return
+        g = vc.genotypes[0]
+        lo, hi = self._band(g.gq or 0)
+        if self.block is not None and self.block.accepts(vc, lo):
+            self.block.add(vc)
+        else:
+            self._flush_block()
+            self.block = HomRefBlock(vc, lo, hi)
+
+    def _flush_block(self):
+        if self.block is not None:
+            self.writer.write(self.block.to_variant())
+            self.block = None
+
+    def flush_contig(self):
+        self._flush_block()
+
+    def finish(self):
+        self._flush_block()

@@ -1,0 +1,189 @@
+"""HaplotypeCaller top-level pipeline: BAM + FASTA (+BED) -> VCF/GVCF.
+
+Counterpart of the reference's HaplotypeCaller::do_work wiring (reference:
+src/haplotypecaller/haplotypecaller.cpp:45-181) — rebuilt as a windowed
+batch pipeline instead of an 8-thread queue mesh: stream filtered,
+downsampled reads per contig; compute the activity profile per window;
+cut regions; call each region; emit coordinate-ordered records.
+"""
+
+import dataclasses
+
+import numpy as np
+
+from .. import constants as C
+from ..io.bam import merged_reader
+from ..io.bed import BedFile
+from ..io.fasta import FastaFile
+from ..io.vcf import VcfWriter
+from ..reads.downsampler import PositionalDownsampler
+from ..reads.filters import HCReadFilter
+from . import activity
+from .hc_engine import CallerConfig, RegionCaller
+
+WINDOW_SIZE = 1 << 20          # 1 Mbp activity windows
+WINDOW_MARGIN = 1000           # reads/smear margin around each window
+
+
+@dataclasses.dataclass
+class HCArgs:
+    bam_paths: list
+    reference_path: str
+    output_path: str
+    bed_path: str = None
+    interval_padding: int = C.DEFAULT_INTERVAL_PADDING
+    gvcf_mode: bool = False
+    gq_bands: tuple = C.DEFAULT_GVCF_GQ_BANDS
+    max_reads_depth: int = C.DOWNSAMPLE_DEFAULT_TARGET
+    pcr_indel_model: str = "CONSERVATIVE"
+    dbsnp_path: str = None
+    recal_table: str = None
+    sample_name: str = None
+    pairhmm_engine: str = "auto"
+    target_span: str = None    # "chr20:1000000-2000000" restriction
+
+
+def parse_span(span):
+    contig, _, rng = span.partition(":")
+    if not rng:
+        return contig, None, None
+    s, _, e = rng.partition("-")
+    return contig, int(s) - 1, int(e)
+
+
+class HaplotypeCaller:
+    def __init__(self, args):
+        self.args = args
+        self.fasta = FastaFile(args.reference_path)
+        self.bed = None
+        if args.bed_path:
+            self.bed = BedFile(args.bed_path,
+                               contig_dict=self.fasta.contig_dict,
+                               padding=args.interval_padding)
+        self.dbsnp = None
+        if args.dbsnp_path:
+            from ..io.vcf import VcfReader
+            self.dbsnp = VcfReader(args.dbsnp_path)
+        self.bqsr = None
+        if args.recal_table:
+            from ..reads.bqsr import BQSRReadTransformer
+            self.bqsr = BQSRReadTransformer.from_table(args.recal_table)
+        self.stats = {"reads": 0, "filtered": 0, "regions": 0, "calls": 0}
+
+    def run(self):
+        args = self.args
+        reader = merged_reader(args.bam_paths)
+        # peek header for sample name
+        from ..io.bam import BamReader
+        header = BamReader(args.bam_paths[0]).header
+        sample = args.sample_name or (header.samples[0] if header.samples
+                                      else "SAMPLE")
+
+        config = CallerConfig(gvcf_mode=args.gvcf_mode,
+                              pcr_indel_model=args.pcr_indel_model,
+                              sample_name=sample,
+                              pairhmm_engine=args.pairhmm_engine)
+        caller = RegionCaller(config, self.fasta.contig_dict)
+
+        span = parse_span(args.target_span) if args.target_span else None
+
+        writer = VcfWriter(args.output_path, self.fasta.contig_dict,
+                           sample=sample, gvcf=args.gvcf_mode,
+                           gq_bands=list(args.gq_bands))
+        combiner = None
+        if args.gvcf_mode:
+            from .block_combiner import BlockCombiner
+            combiner = BlockCombiner(list(args.gq_bands), writer)
+
+        try:
+            for contig, reads in self._reads_by_contig(reader, span):
+                self._call_contig(contig, reads, caller, writer, combiner,
+                                  span)
+        finally:
+            if combiner:
+                combiner.finish()
+            writer.close()
+        return self.stats
+
+    # ------------------------------------------------------------------
+    def _reads_by_contig(self, reader, span):
+        """Filtered + downsampled reads grouped per contig (streaming)."""
+        filt = HCReadFilter()
+        current = None
+        bucket = []
+        for read in reader:
+            self.stats["reads"] += 1
+            if span and read.contig != span[0]:
+                continue
+            if not filt.test(read):
+                continue
+            if self.bqsr is not None:
+                read = self.bqsr.apply(read)
+            if read.contig != current:
+                if current is not None and bucket:
+                    yield current, self._downsample(bucket)
+                current = read.contig
+                bucket = []
+            bucket.append(read)
+        if current is not None and bucket:
+            yield current, self._downsample(bucket)
+        self.stats["filtered"] = filt.filtered_count
+
+    @staticmethod
+    def _downsample(reads):
+        ds = PositionalDownsampler()
+        return list(ds(iter(reads)))
+
+    # ------------------------------------------------------------------
+    def _call_contig(self, contig, reads, caller, writer, combiner, span):
+        args = self.args
+        ref = self.fasta.fetch(contig)
+        contig_len = len(ref)
+        if not reads:
+            return
+
+        lo = min(r.pos for r in reads)
+        hi = max(r.end for r in reads)
+        if span and span[1] is not None:
+            lo, hi = max(lo, span[1]), min(hi, span[2])
+        caller.genotyping.clear_upstream_deletions()
+
+        emit_inactive = args.gvcf_mode
+        for win_start in range(max(0, lo - WINDOW_MARGIN), hi, WINDOW_SIZE):
+            win_end = min(contig_len, win_start + WINDOW_SIZE + WINDOW_MARGIN)
+            win_reads = [r for r in reads
+                         if r.pos < win_end and r.end > win_start]
+            if not win_reads:
+                continue
+            mask = (self.bed.mask(contig, win_start, win_end, padded=True)
+                    if self.bed else None)
+            regions = activity.find_active_regions(
+                win_reads, ref, contig, win_start, win_end,
+                emit_inactive=emit_inactive, target_mask=mask)
+            for region in regions:
+                # regions fully in the overlap margin belong to the next window
+                if region.start >= win_start + WINDOW_SIZE:
+                    continue
+                self.stats["regions"] += 1
+                pad_s = max(0, region.start - C.REGION_PADDING)
+                pad_e = min(contig_len, region.end + 1 + C.REGION_PADDING)
+                region_reads = [r for r in win_reads
+                                if r.pos < pad_e and r.end > pad_s]
+                calls = caller.call_region(region, region_reads, ref, contig)
+                for call in calls:
+                    if span and span[1] is not None and not (
+                            span[1] <= call.start < span[2]):
+                        continue
+                    if self.dbsnp is not None:
+                        rsid = self.dbsnp.lookup_id(
+                            contig, call.start, call.ref.bases,
+                            [a.bases for a in call.alts])
+                        if rsid:
+                            call.id = rsid
+                    self.stats["calls"] += 1
+                    if combiner is not None:
+                        combiner.submit(call)
+                    else:
+                        writer.write(call)
+        if combiner is not None:
+            combiner.flush_contig()

@@ -1,0 +1,128 @@
+"""Per-region calling engine: reads + region -> variant calls.
+
+Counterpart of the reference's HaplotypeCallerEngine::call_region (reference:
+src/haplotypecaller/haplotypecaller_engine.cpp:107-309): finalize reads,
+assemble, trim to the variant span, filter, PairHMM, genotype, and (GVCF)
+reference-confidence for non-variant flanks.
+
+Deviation (documented): reads are not re-aligned to their best haplotype
+before annotation (assembly_based_caller_utils.cpp:146) — annotations use the
+original alignments; scheduled for a later round.
+"""
+
+import dataclasses
+
+import numpy as np
+
+from .. import constants as C
+from ..assembly import assembler
+from ..genotype.engine import GenotypingArgs, GermlineGenotypingEngine
+from ..genotype.likelihoods import AlleleLikelihoods
+from ..ops import pairhmm
+from . import trimming
+
+
+@dataclasses.dataclass
+class CallerConfig:
+    gvcf_mode: bool = False
+    pcr_indel_model: str = "CONSERVATIVE"
+    mapping_quality_threshold: int = C.MAPPING_QUALITY_THRESHOLD
+    sample_name: str = "SAMPLE"
+    pairhmm_engine: str = "auto"
+    max_mnp_distance: int = C.MAX_MNP_DISTANCE
+    region_padding: int = C.REGION_PADDING
+    reference_padding: int = C.REFERENCE_PADDING
+
+
+class RegionCaller:
+    def __init__(self, config=None, contig_lengths=None):
+        self.config = config or CallerConfig()
+        self.contig_lengths = contig_lengths or {}
+        self.genotyping = GermlineGenotypingEngine(GenotypingArgs(
+            gvcf_mode=self.config.gvcf_mode,
+            max_mnp_distance=self.config.max_mnp_distance,
+            sample_name=self.config.sample_name))
+
+    def call_region(self, region, reads, ref, contig):
+        """region: activity.RawRegion (start/end inclusive); reads: reads
+        overlapping the padded region; ref: full contig bytes.
+
+        Returns a list of Variant calls in coordinate order.
+        """
+        cfg = self.config
+        contig_len = self.contig_lengths.get(contig, len(ref))
+        self.genotyping.args.contig_length = contig_len
+
+        pad_start = max(0, region.start - cfg.region_padding)
+        pad_stop = min(contig_len - 1, region.end + cfg.region_padding)
+
+        if not region.is_active:
+            if cfg.gvcf_mode:
+                return self._reference_confidence_only(region, reads, ref,
+                                                       contig)
+            return []
+
+        fin = assembler.finalize_region_reads(reads, pad_start, pad_stop)
+        assembler.adjust_overlapping_pair_quals(fin)
+        window = bytes(ref[pad_start:pad_stop + 1])
+        haplotypes = assembler.assemble_region(fin, window, pad_start)
+
+        trim = trimming.trim_region(
+            haplotypes, window, pad_start, region.start, region.end,
+            pad_start, pad_stop, cfg.max_mnp_distance)
+        if trim is None:
+            if cfg.gvcf_mode:
+                return self._reference_confidence_only(region, reads, ref,
+                                                       contig)
+            return []
+
+        span_start, span_stop = trim.padded_span
+        var_start, var_stop = trim.variant_span
+        haps = trimming.trim_haplotypes(haplotypes, window, span_start,
+                                        span_stop)
+        if len(haps) <= 1:
+            if cfg.gvcf_mode:
+                return self._reference_confidence_only(region, reads, ref,
+                                                       contig)
+            return []
+        call_reads = trimming.trim_reads(fin, span_start, span_stop)
+        call_reads = [r for r in call_reads
+                      if r.mapping_quality >= cfg.mapping_quality_threshold]
+        if not call_reads:
+            return []
+
+        lik_matrix, kept = pairhmm.compute_likelihoods(
+            call_reads, [h.bases for h in haps],
+            pcr_model=cfg.pcr_indel_model, engine=cfg.pairhmm_engine)
+        kept_reads = [call_reads[i] for i in kept]
+        if not kept_reads:
+            return []
+        hap_lik = AlleleLikelihoods(list(haps), kept_reads, lik_matrix)
+
+        trimmed_window = bytes(ref[span_start:span_stop + 1])
+        calls, called_haps = self.genotyping.assign_genotype_likelihoods(
+            hap_lik, trimmed_window, span_start, var_start, var_stop)
+        for c in calls:
+            c.contig = contig
+
+        if cfg.gvcf_mode:
+            calls = self._merge_with_ref_confidence(
+                region, reads, ref, contig, calls, kept_reads,
+                (var_start, var_stop))
+        return calls
+
+    # -- GVCF support (filled in by the reference-confidence model) --------
+    def _reference_confidence_only(self, region, reads, ref, contig):
+        from . import ref_confidence
+        return ref_confidence.reference_model_for_no_variation(
+            region, reads, ref, contig,
+            mapping_quality_threshold=self.config.mapping_quality_threshold,
+            sample=self.config.sample_name)
+
+    def _merge_with_ref_confidence(self, region, reads, ref, contig, calls,
+                                   genotype_reads, variant_span):
+        from . import ref_confidence
+        return ref_confidence.calculate_ref_confidence_with_calls(
+            region, reads, ref, contig, calls, genotype_reads, variant_span,
+            mapping_quality_threshold=self.config.mapping_quality_threshold,
+            sample=self.config.sample_name)

@@ -1,0 +1,225 @@
+"""GVCF reference-confidence model.
+
+Counterpart of the reference's ReferenceConfidenceModel (reference:
+src/haplotypecaller/genotype/reference_confidence_model.cpp:44-300): per
+non-variant position, genotype likelihoods of ref-vs-any from the base-qual
+pileup (quals > 6), capped by an indel-informativeness model (reads with no
+plausible indel of size <= 10 contribute qual-45 ref evidence), taking the
+less-confident of the SNP and indel GLs.
+"""
+
+import math
+
+import numpy as np
+
+from .. import constants as C
+from ..genotype.likelihood_calc import gq_from_pls
+from ..genotype.variant import Allele, Genotype, NON_REF, Variant
+from ..reads.cigar import CigarOp, CONSUMES_QUERY, CONSUMES_REF
+from .activity import genotype_cache
+
+BASE_QUAL_THRESHOLD = 6          # assembly_based_caller_utils.h:20
+INDEL_QUAL = 45                  # genotype_likelihoods_cache.cpp:34-35
+REF_MODEL_DELETION_QUAL = C.REF_MODEL_DELETION_QUAL
+
+
+def _indel_gl_table(ploidy=2, max_n=C.MAX_N_INDEL_INFORMATIVE_READS):
+    """GLs for n indel-informative reads (genotype_likelihoods_cache.cpp)."""
+    no_indel = math.log10(1.0 - 10.0 ** (-INDEL_QUAL / 10.0))
+    indel = -INDEL_QUAL / 10.0
+    table = np.zeros((max_n + 1, ploidy + 1))
+    for n in range(1, max_n + 1):
+        table[n, 0] = n * no_indel
+        for g in range(1, ploidy + 1):
+            a = no_indel + math.log10(ploidy - g) if g < ploidy else -np.inf
+            b = indel + math.log10(g)
+            m = max(a, b)
+            s = m + math.log10(10.0 ** (a - m) + 10.0 ** (b - m))
+            table[n, g] = n * (s - math.log10(ploidy))
+    return table
+
+
+_INDEL_TABLE = None
+
+
+def indel_gls(n_informative, ploidy=2):
+    global _INDEL_TABLE
+    if _INDEL_TABLE is None:
+        _INDEL_TABLE = _indel_gl_table(ploidy)
+    n = min(n_informative, C.MAX_N_INDEL_INFORMATIVE_READS)
+    return _INDEL_TABLE[n]
+
+
+class PositionObs:
+    """Per-position pileup summary over [start, end)."""
+
+    __slots__ = ("hist", "indel_informative", "depth")
+
+    def __init__(self, length):
+        # hist[status][pos][qual]: status 0 = non-ref, 1 = ref
+        self.hist = np.zeros((2, length, 64), dtype=np.int32)
+        self.indel_informative = np.zeros(length, dtype=np.int32)
+        self.depth = np.zeros((2, length), dtype=np.int32)
+
+
+def _aligned_arrays(read):
+    """(ref_positions, query_offsets, ops) per aligned base; deletions as
+    (-1 offset) entries; insertions skipped for pileup purposes."""
+    out = []
+    pos = read.pos
+    q = 0
+    for op, length in read.cigar:
+        in_q = op in CONSUMES_QUERY
+        in_r = op in CONSUMES_REF
+        if in_q and in_r:
+            for k in range(length):
+                out.append((pos + k, q + k, False))
+            pos += length
+            q += length
+        elif in_r:
+            for k in range(length):
+                out.append((pos + k, -1, True))
+            pos += length
+        elif in_q:
+            q += length
+    return out
+
+
+def _mismatch_qual_suffix_sums(read_bases, read_quals, ref, read_start,
+                               ref_start):
+    """Baseline and shifted mismatch-quality sums for indel plausibility
+    (read_has_no_plausible_ideals_of_size, simplified to direct evaluation).
+
+    Returns True if no indel of size 1..10 aligns the read suffix at least
+    as well as the current alignment (i.e. the read is indel-informative).
+    """
+    rb = read_bases[read_start:]
+    rq = read_quals[read_start:]
+    rf = ref[ref_start:]
+    n = min(len(rb), len(rf))
+    if n <= C.MAX_INDEL_SIZE:
+        return False
+    mismatch = np.array([rq[i] if rb[i] != rf[i] else 0
+                         for i in range(n)], dtype=np.int64)
+    baseline = int(mismatch.sum())
+    for size in range(1, C.MAX_INDEL_SIZE + 1):
+        # deletion of `size` ref bases after this position
+        m = min(len(rb), len(rf) - size)
+        if m > 0:
+            del_sum = sum(int(rq[i]) for i in range(m)
+                          if rb[i] != rf[i + size])
+            if del_sum <= baseline:
+                return False
+        # insertion of `size` read bases after this position
+        m = min(len(rb) - size, len(rf))
+        if m > 0:
+            ins_sum = sum(int(rq[i + size]) for i in range(m)
+                          if rb[i + size] != rf[i])
+            if ins_sum <= baseline:
+                return False
+    return True
+
+
+def build_position_obs(reads, ref, start, end):
+    """Pileup histograms + indel informativeness over [start, end)."""
+    L = end - start
+    obs = PositionObs(L)
+    for read in reads:
+        aligned = _aligned_arrays(read)
+        # aligned-one-to-one read arrays (deletions removed)
+        rb = bytes(read.bases[qo] for _, qo, isdel in aligned if not isdel)
+        rq = [int(read.quals[qo]) for _, qo, isdel in aligned if not isdel]
+        ai = 0  # index into rb/rq
+        for idx, (rp, qo, isdel) in enumerate(aligned):
+            off = rp - start
+            if isdel:
+                if 0 <= off < L:
+                    obs.hist[0, off, REF_MODEL_DELETION_QUAL] += 1
+                    obs.depth[0, off] += 1
+                continue
+            if 0 <= off < L:
+                bq = min(int(read.quals[qo]), 63)
+                is_ref = read.bases[qo] == ref[rp]
+                status = 1 if is_ref else 0
+                obs.hist[status, off, bq] += 1
+                obs.depth[status, off] += 1
+                # indel informativeness at this position
+                prev_del = idx + 1 < len(aligned) and aligned[idx + 1][2]
+                next_ins = False  # insertions not tracked per-element here
+                if not (prev_del or next_ins):
+                    if _mismatch_qual_suffix_sums(rb, rq, ref, ai, rp):
+                        obs.indel_informative[off] += 1
+            ai += 1
+    return obs
+
+
+def reference_confidence_records(obs, ref, contig, start, calls_by_pos,
+                                 ploidy=2, sample="SAMPLE"):
+    """Per-position hom-ref VCs (or the overlapping real call)
+    (calculate_ref_confidence)."""
+    cache = genotype_cache(ploidy)
+    L = obs.hist.shape[1]
+    out = []
+    pos = 0
+    while pos < L:
+        gpos = start + pos
+        call = calls_by_pos.get(gpos)
+        if call is not None:
+            out.append(call)
+            pos += max(1, len(call.ref.bases))
+            continue
+        hist = obs.hist[:, pos, :].astype(np.float64)
+        hist[:, : BASE_QUAL_THRESHOLD + 1] = 0.0
+        count = hist.sum()
+        # note cache status 0 = variant evidence == our hist status 0 ✓
+        gl = np.einsum("sq,sqg->g", hist, cache)
+        gl -= count * math.log10(ploidy)
+        # cap alt GLs by hom-ref GL (get_genotype_likelihoods_capped_...)
+        snp_gls = np.minimum(gl, gl[0])
+        snp_gls[0] = gl[0]
+        ind_gls = indel_gls(int(obs.indel_informative[pos]), ploidy)
+
+        snp_pls = np.round(-10.0 * (snp_gls - snp_gls.max())).astype(int)
+        ind_pls = np.round(-10.0 * (ind_gls - ind_gls.max())).astype(int)
+        # take the less confident of the two
+        pls = snp_pls if gq_from_pls(snp_pls) <= gq_from_pls(ind_pls) \
+            else ind_pls
+
+        ref_allele = Allele(bytes([ref[gpos]]), is_ref=True)
+        g = Genotype(alleles=[ref_allele] * ploidy, pl=list(pls),
+                     gq=gq_from_pls(pls),
+                     ad=[int(obs.depth[1, pos]), int(obs.depth[0, pos])],
+                     dp=int(obs.depth[:, pos].sum()), sample=sample)
+        out.append(Variant(contig=contig, start=gpos, stop=gpos,
+                           alleles=[ref_allele, NON_REF], genotypes=[g]))
+        pos += 1
+    return out
+
+
+def _filter_reads(reads, mapping_quality_threshold):
+    return [r for r in reads
+            if r.mapping_quality >= mapping_quality_threshold]
+
+
+def reference_model_for_no_variation(region, reads, ref, contig,
+                                     mapping_quality_threshold=20,
+                                     sample="SAMPLE"):
+    """Hom-ref records for a whole non-variant region
+    (reference_model_for_no_variation)."""
+    usable = _filter_reads(reads, mapping_quality_threshold)
+    obs = build_position_obs(usable, ref, region.start, region.end + 1)
+    return reference_confidence_records(obs, ref, contig, region.start, {},
+                                        sample=sample)
+
+
+def calculate_ref_confidence_with_calls(region, reads, ref, contig, calls,
+                                        genotype_reads, variant_span,
+                                        mapping_quality_threshold=20,
+                                        sample="SAMPLE"):
+    """Variant region in GVCF mode: hom-ref records for the flanks + real
+    calls spliced over the variant span (call_non_active_site)."""
+    usable = _filter_reads(reads, mapping_quality_threshold)
+    obs = build_position_obs(usable, ref, region.start, region.end + 1)
+    calls_by_pos = {c.start: c for c in calls}
+    return reference_confidence_records(obs, ref, contig, region.start,
+                                        calls_by_pos, sample=sample)

@@ -1,0 +1,119 @@
+"""End-to-end: synthetic BAM -> CLI -> VCF with the expected calls."""
+
+import numpy as np
+import pytest
+
+from rovaca_tpu.cli import main as cli_main
+
+import simdata
+
+
+def parse_vcf(path):
+    records = []
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            f = line.rstrip("\n").split("\t")
+            rec = {
+                "contig": f[0], "pos": int(f[1]), "id": f[2], "ref": f[3],
+                "alt": f[4].split(","), "qual": f[5], "info": f[7],
+            }
+            if len(f) > 9:
+                rec["fmt"] = dict(zip(f[8].split(":"), f[9].split(":")))
+            records.append(rec)
+    return records
+
+
+@pytest.fixture(scope="module")
+def called_vcf(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    fasta, bam, truth, ref = simdata.make_standard_case(tmp)
+    out = str(tmp / "out.vcf")
+    rc = cli_main(["HaplotypeCaller", "-i", bam, "-r", fasta, "-o", out,
+                   "--pairhmm-engine", "xla"])
+    assert rc == 0
+    return parse_vcf(out), truth, ref
+
+
+class TestEndToEndVcf:
+    def test_all_truth_variants_called(self, called_vcf):
+        records, truth, ref = called_vcf
+        by_pos = {r["pos"]: r for r in records}
+
+        # het SNP at 0-based 600 -> VCF pos 601
+        r = by_pos.get(601)
+        assert r is not None, f"het SNP missing; calls at {sorted(by_pos)}"
+        assert r["ref"] == truth["het_snp"][1]
+        assert r["alt"] == [truth["het_snp"][2]]
+        assert r["fmt"]["GT"] in ("0/1", "1/0")
+
+        r = by_pos.get(1001)
+        assert r is not None, "hom SNP missing"
+        assert r["fmt"]["GT"] == "1/1"
+
+        # the 3bp deletion may be emitted left-aligned (e.g. 1500 CACA>C
+        # rather than 1501 ACAA>A) — same haplotype
+        r = by_pos.get(1501) or by_pos.get(1500)
+        assert r is not None, "het deletion missing"
+        assert len(r["ref"]) == 4 and len(r["alt"][0]) == 1
+        assert r["fmt"]["GT"] in ("0/1", "1/0")
+
+        r = by_pos.get(2101)
+        assert r is not None, "het insertion missing"
+        assert len(r["ref"]) == 1 and len(r["alt"][0]) == 3
+        assert r["fmt"]["GT"] in ("0/1", "1/0")
+
+    def test_no_false_positives(self, called_vcf):
+        records, truth, ref = called_vcf
+        true_pos = {601, 1001, 1500, 1501, 2101}
+        extra = [r for r in records if r["pos"] not in true_pos]
+        assert len(extra) == 0, f"unexpected calls: {extra}"
+
+    def test_record_fields_sane(self, called_vcf):
+        records, _, _ = called_vcf
+        for r in records:
+            assert float(r["qual"]) > 30
+            info = dict(kv.split("=", 1) for kv in r["info"].split(";")
+                        if "=" in kv)
+            assert "DP" in info and int(info["DP"]) > 10
+            assert "MQ" in info
+            assert "AC" in info
+            fmt = r["fmt"]
+            assert "PL" in fmt and "AD" in fmt and "GQ" in fmt
+            pls = [int(x) for x in fmt["PL"].split(",")]
+            assert min(pls) == 0
+            ads = [int(x) for x in fmt["AD"].split(",")]
+            assert sum(ads) > 10
+
+    def test_sorted_output(self, called_vcf):
+        records, _, _ = called_vcf
+        positions = [r["pos"] for r in records]
+        assert positions == sorted(positions)
+
+
+class TestEndToEndGvcf:
+    def test_gvcf_mode(self, tmp_path):
+        import numpy as np
+        rng = np.random.default_rng(7)
+        fasta, bam, truth, ref = simdata.make_standard_case(tmp_path, rng,
+                                                            coverage=16)
+        out = str(tmp_path / "out.g.vcf")
+        rc = cli_main(["HaplotypeCaller", "-i", bam, "-r", fasta, "-o", out,
+                       "-e", "GVCF", "--pairhmm-engine", "xla"])
+        assert rc == 0
+        records = parse_vcf(out)
+        assert records, "no gvcf records"
+        # must contain NON_REF everywhere and real variant rows
+        variant_rows = [r for r in records if r["alt"][0] != "<NON_REF>"]
+        block_rows = [r for r in records if r["alt"] == ["<NON_REF>"]]
+        assert variant_rows, "no variant rows in gvcf"
+        assert block_rows, "no hom-ref blocks in gvcf"
+        for r in variant_rows:
+            assert r["alt"][-1] == "<NON_REF>"
+        # hom-ref blocks have END and MIN_DP
+        with_end = [r for r in block_rows if "END=" in r["info"]]
+        assert with_end
+        # coverage: blocks + variants should tile the read span contiguously
+        positions = [r["pos"] for r in records]
+        assert positions == sorted(positions)
