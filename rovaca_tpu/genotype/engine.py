@@ -126,6 +126,10 @@ class GermlineGenotypingEngine:
             annotations.annotate_variant(call, anno_lik,
                                          gvcf_mode=args.gvcf_mode)
             calls.append(call)
+
+        if args.gvcf_mode:  # do_not_run_physical_phasing unless GVCF
+            from .phasing import phase_calls
+            calls = phase_calls(calls, called_haplotypes)
         return calls, called_haplotypes
 
     # ------------------------------------------------------------------

@@ -13,7 +13,12 @@ so VMEM scratch holds only ONE row of M/I/D state (the block's last row),
 cutting state traffic by ROWS_PER_ITER. Column chunking batches the scratch
 loads/stores U columns at a time.
 
-Masking:
+Data-dependent trip counts: loops run to the tile's actual max read/hap
+length (padding beyond is never swept), and rows below the tile's minimum
+real read length skip the length-blend entirely (padding lanes carry all-zero
+transition channels, so their state stays zero unmasked).
+
+Masking (tail rows only):
 - read-length mask: rows past a read's end copy the previous row through
   (so the final row holds every read's own terminal values)
 - hap-length mask: applied only in the final column sum — columns past a
@@ -34,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ... import constants as C
 
 F32 = jnp.float32
-ROWS_PER_ITER = 4
+ROWS_PER_ITER = 8
 COLS_PER_ITER = 8
 
 
@@ -50,70 +55,85 @@ def _pairhmm_kernel(trans_ref, rbase_ref, rlen_ref, hbase_ref, hlen_ref,
     init_d = jnp.broadcast_to(init_d, (8, 128))
     zero_tile = jnp.zeros((8, 128), F32)
 
+    max_rl = jnp.max(rlen)
+    min_rl = jnp.min(jnp.where(rlen == 0, jnp.int32(Lr), rlen))
+    max_hl = jnp.max(hlen)
+    n_col_chunks = jnp.maximum(1, (max_hl + U - 1) // U)
+    n_row_blocks = (max_rl + R - 1) // R
+    fast_row_blocks = jnp.minimum(min_rl // R, n_row_blocks)
+
     # row -1 boundary: M = I = 0, D = 2^120 / hapLen in every column
     mm_s[...] = jnp.zeros((Lh, 8, 128), F32)
     ii_s[...] = jnp.zeros((Lh, 8, 128), F32)
     dd_s[...] = jnp.broadcast_to(init_d[None], (Lh, 8, 128))
 
-    def block_body(ib, _):
-        i0 = ib * R
-        t = trans_ref[0, pl.ds(i0, R)]                   # (R, 8, 128)
-        ch = [[t[r, k:k + 1, :] for k in range(8)] for r in range(R)]
-        rb = rbase_ref[0, pl.ds(i0, R), :]               # (R, 128)
-        rr = [rb[r:r + 1, :] for r in range(R)]          # (1, 128) each
-        lv = [(i0 + r) < rlen for r in range(R)]         # (1, 128) bool
+    def make_block_body(masked):
+        def block_body(ib, _):
+            i0 = ib * R
+            t = trans_ref[0, pl.ds(i0, R)]               # (R, 8, 128)
+            ch = [[t[r, k:k + 1, :] for k in range(8)] for r in range(R)]
+            rb = rbase_ref[0, pl.ds(i0, R), :]           # (R, 128)
+            rr = [jnp.broadcast_to(rb[r:r + 1, :], (8, 128))
+                  for r in range(R)]
+            lv = ([jnp.broadcast_to((i0 + r) < rlen, (8, 128))
+                   for r in range(R)] if masked else None)
 
-        # diagonal carry for block row 0 = scratch row (block i-1's last row)
-        # at col -1: zeros except the global (-1,-1) corner D = init_d
-        dg0_d = jnp.where(i0 == 0, init_d, zero_tile)
+            # diagonal carry for block row 0 at col -1: zeros except the
+            # global (-1,-1) corner D = init_d on the very first row
+            dg0_d = jnp.where(i0 == 0, init_d, zero_tile)
 
-        def chunk_body(jc, carry):
-            j0 = jc * U
-            # per-row current-row carries (col j-1) + row-0 diagonal carry
-            Mc = list(carry[0:R])
-            Ic = list(carry[R:2 * R])
-            Dc = list(carry[2 * R:3 * R])
-            dgM, dgI, dgD = carry[3 * R], carry[3 * R + 1], carry[3 * R + 2]
+            def chunk_body(jc, carry):
+                j0 = jc * U
+                Mc = list(carry[0:R])
+                Ic = list(carry[R:2 * R])
+                Dc = list(carry[2 * R:3 * R])
+                dgM, dgI, dgD = (carry[3 * R], carry[3 * R + 1],
+                                 carry[3 * R + 2])
 
-            hb = hbase_ref[0, pl.ds(j0, U)]              # (U, 8, 128)
-            mmP = mm_s[pl.ds(j0, U)]                     # prev block last row
-            iiP = ii_s[pl.ds(j0, U)]
-            ddP = dd_s[pl.ds(j0, U)]
+                hb = hbase_ref[0, pl.ds(j0, U)]          # (U, 8, 128)
+                mmP = mm_s[pl.ds(j0, U)]                 # prev block last row
+                iiP = ii_s[pl.ds(j0, U)]
+                ddP = dd_s[pl.ds(j0, U)]
 
-            Ms, Is, Ds = [], [], []
-            for u in range(U):
-                h = hb[u]
-                prevM, prevI, prevD = mmP[u], iiP[u], ddP[u]
-                dM, dI, dD = dgM, dgI, dgD               # diag for row 0
-                upM, upI, upD = prevM, prevI, prevD      # row above, col j
-                for r in range(R):
-                    p_mm, p_gapm, p_mi, p_ii, p_md, p_dd, p_dm, p_1dm = ch[r]
-                    match = (rr[r] & h) != 0
-                    dchosen = jnp.where(match, p_1dm, p_dm)
-                    M_t = dchosen * (dM * p_mm + (dI + dD) * p_gapm)
-                    I_t = upM * p_mi + upI * p_ii
-                    D_t = Mc[r] * p_md + Dc[r] * p_dd
-                    M = jnp.where(lv[r], M_t, upM)
-                    I = jnp.where(lv[r], I_t, upI)
-                    D = jnp.where(lv[r], D_t, upD)
-                    dM, dI, dD = Mc[r], Ic[r], Dc[r]     # diag for row r+1
-                    Mc[r], Ic[r], Dc[r] = M, I, D
-                    upM, upI, upD = M, I, D
-                Ms.append(Mc[R - 1])
-                Is.append(Ic[R - 1])
-                Ds.append(Dc[R - 1])
-                dgM, dgI, dgD = prevM, prevI, prevD      # diag col j for next u
+                Ms, Is, Ds = [], [], []
+                for u in range(U):
+                    h = hb[u]
+                    prevM, prevI, prevD = mmP[u], iiP[u], ddP[u]
+                    dM, dI, dD = dgM, dgI, dgD
+                    upM, upI, upD = prevM, prevI, prevD
+                    for r in range(R):
+                        (p_mm, p_gapm, p_mi, p_ii, p_md, p_dd, p_dm,
+                         p_1dm) = ch[r]
+                        match = (rr[r] & h) != 0
+                        dchosen = jnp.where(match, p_1dm, p_dm)
+                        M = dchosen * (dM * p_mm + (dI + dD) * p_gapm)
+                        I = upM * p_mi + upI * p_ii
+                        D = Mc[r] * p_md + Dc[r] * p_dd
+                        if masked:
+                            M = jnp.where(lv[r], M, upM)
+                            I = jnp.where(lv[r], I, upI)
+                            D = jnp.where(lv[r], D, upD)
+                        dM, dI, dD = Mc[r], Ic[r], Dc[r]
+                        Mc[r], Ic[r], Dc[r] = M, I, D
+                        upM, upI, upD = M, I, D
+                    Ms.append(Mc[R - 1])
+                    Is.append(Ic[R - 1])
+                    Ds.append(Dc[R - 1])
+                    dgM, dgI, dgD = prevM, prevI, prevD
 
-            mm_s[pl.ds(j0, U)] = jnp.stack(Ms)
-            ii_s[pl.ds(j0, U)] = jnp.stack(Is)
-            dd_s[pl.ds(j0, U)] = jnp.stack(Ds)
-            return tuple(Mc) + tuple(Ic) + tuple(Dc) + (dgM, dgI, dgD)
+                mm_s[pl.ds(j0, U)] = jnp.stack(Ms)
+                ii_s[pl.ds(j0, U)] = jnp.stack(Is)
+                dd_s[pl.ds(j0, U)] = jnp.stack(Ds)
+                return tuple(Mc) + tuple(Ic) + tuple(Dc) + (dgM, dgI, dgD)
 
-        carry0 = (zero_tile,) * (3 * R) + (zero_tile, zero_tile, dg0_d)
-        jax.lax.fori_loop(0, Lh // U, chunk_body, carry0)
-        return 0
+            carry0 = (zero_tile,) * (3 * R) + (zero_tile, zero_tile, dg0_d)
+            jax.lax.fori_loop(0, n_col_chunks, chunk_body, carry0)
+            return 0
+        return block_body
 
-    jax.lax.fori_loop(0, Lr // R, block_body, 0)
+    jax.lax.fori_loop(0, fast_row_blocks, make_block_body(masked=False), 0)
+    jax.lax.fori_loop(fast_row_blocks, n_row_blocks,
+                      make_block_body(masked=True), 0)
 
     # final sum over valid columns of the last row: sum_j (M + I)
     def sum_body(jc, acc):
@@ -125,7 +145,7 @@ def _pairhmm_kernel(trans_ref, rbase_ref, rlen_ref, hbase_ref, hlen_ref,
             acc = acc + jnp.where(valid, mmF[u] + iiF[u], F32(0.0))
         return acc
 
-    out_ref[0, 0] = jax.lax.fori_loop(0, Lh // U, sum_body, zero_tile)
+    out_ref[0, 0] = jax.lax.fori_loop(0, n_col_chunks, sum_body, zero_tile)
 
 
 @functools.partial(jax.jit,

@@ -160,6 +160,13 @@ class HaplotypeCaller:
             regions = activity.find_active_regions(
                 win_reads, ref, contig, win_start, win_end,
                 emit_inactive=emit_inactive, target_mask=mask)
+            # prepare all regions of the window, score them in one batched
+            # device pass, then genotype (pipeline/scheduler.py)
+            from .scheduler import PairHMMScheduler
+            sched = PairHMMScheduler(engine=args.pairhmm_engine)
+            prepared = {}
+            ready_calls = {}
+            ordered = []
             for region in regions:
                 # regions fully in the overlap margin belong to the next window
                 if region.start >= win_start + WINDOW_SIZE:
@@ -169,7 +176,23 @@ class HaplotypeCaller:
                 pad_e = min(contig_len, region.end + 1 + C.REGION_PADDING)
                 region_reads = [r for r in win_reads
                                 if r.pos < pad_e and r.end > pad_s]
-                calls = caller.call_region(region, region_reads, ref, contig)
+                key = (region.start, region.end)
+                ordered.append(key)
+                p = caller.prepare_region(region, region_reads, ref, contig)
+                if isinstance(p, list):
+                    ready_calls[key] = p
+                else:
+                    prepared[key] = p
+                    sched.submit(key, p.call_reads,
+                                 [h.bases for h in p.haps],
+                                 pcr_model=args.pcr_indel_model)
+            results = sched.run() if prepared else {}
+            for key in ordered:
+                if key in ready_calls:
+                    calls = ready_calls[key]
+                else:
+                    lik, kept = results[key]
+                    calls = caller.finish_region(prepared[key], lik, kept)
                 for call in calls:
                     if span and span[1] is not None and not (
                             span[1] <= call.start < span[2]):

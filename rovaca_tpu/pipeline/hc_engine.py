@@ -23,6 +23,19 @@ from . import trimming
 
 
 @dataclasses.dataclass
+class PreparedRegion:
+    """A region after host-side prep, awaiting PairHMM scoring."""
+    region: object
+    reads: list
+    ref: bytes
+    contig: str
+    haps: list
+    call_reads: list
+    span: tuple
+    variant_span: tuple
+
+
+@dataclasses.dataclass
 class CallerConfig:
     gvcf_mode: bool = False
     pcr_indel_model: str = "CONSERVATIVE"
@@ -44,14 +57,23 @@ class RegionCaller:
             sample_name=self.config.sample_name))
 
     def call_region(self, region, reads, ref, contig):
-        """region: activity.RawRegion (start/end inclusive); reads: reads
-        overlapping the padded region; ref: full contig bytes.
+        """Single-region entry (prepare + score + finish in one step)."""
+        prepared = self.prepare_region(region, reads, ref, contig)
+        if isinstance(prepared, list):
+            return prepared
+        lik_matrix, kept = pairhmm.compute_likelihoods(
+            prepared.call_reads, [h.bases for h in prepared.haps],
+            pcr_model=self.config.pcr_indel_model,
+            engine=self.config.pairhmm_engine)
+        return self.finish_region(prepared, lik_matrix, kept)
 
-        Returns a list of Variant calls in coordinate order.
-        """
+    def prepare_region(self, region, reads, ref, contig):
+        """Host-side region prep: finalize, assemble, trim.
+
+        Returns a PreparedRegion (needs PairHMM scoring) or a ready list of
+        calls (inactive/no-variation regions)."""
         cfg = self.config
         contig_len = self.contig_lengths.get(contig, len(ref))
-        self.genotyping.args.contig_length = contig_len
 
         pad_start = max(0, region.start - cfg.region_padding)
         pad_stop = min(contig_len - 1, region.end + cfg.region_padding)
@@ -91,24 +113,35 @@ class RegionCaller:
         if not call_reads:
             return []
 
-        lik_matrix, kept = pairhmm.compute_likelihoods(
-            call_reads, [h.bases for h in haps],
-            pcr_model=cfg.pcr_indel_model, engine=cfg.pairhmm_engine)
-        kept_reads = [call_reads[i] for i in kept]
+        return PreparedRegion(region=region, reads=reads, ref=ref,
+                              contig=contig, haps=haps,
+                              call_reads=call_reads, span=(span_start,
+                                                           span_stop),
+                              variant_span=(var_start, var_stop))
+
+    def finish_region(self, prepared, lik_matrix, kept):
+        """Genotype a scored region."""
+        cfg = self.config
+        p = prepared
+        self.genotyping.args.contig_length = self.contig_lengths.get(
+            p.contig, len(p.ref))
+        kept_reads = [p.call_reads[i] for i in kept]
         if not kept_reads:
             return []
-        hap_lik = AlleleLikelihoods(list(haps), kept_reads, lik_matrix)
+        hap_lik = AlleleLikelihoods(list(p.haps), kept_reads, lik_matrix)
 
-        trimmed_window = bytes(ref[span_start:span_stop + 1])
+        span_start, span_stop = p.span
+        var_start, var_stop = p.variant_span
+        trimmed_window = bytes(p.ref[span_start:span_stop + 1])
         calls, called_haps = self.genotyping.assign_genotype_likelihoods(
             hap_lik, trimmed_window, span_start, var_start, var_stop)
         for c in calls:
-            c.contig = contig
+            c.contig = p.contig
 
         if cfg.gvcf_mode:
             calls = self._merge_with_ref_confidence(
-                region, reads, ref, contig, calls, kept_reads,
-                (var_start, var_stop))
+                p.region, p.reads, p.ref, p.contig, calls, kept_reads,
+                p.variant_span)
         return calls
 
     # -- GVCF support (filled in by the reference-confidence model) --------

@@ -1,0 +1,142 @@
+"""Cross-region PairHMM batching runtime.
+
+The reference keeps one shared thread pool fed with per-region jobs
+(reference: src/haplotypecaller/haplotypecaller_engine.cpp:119-146). The TPU
+equivalent: regions in a window are *prepared* on host (assembly, trimming),
+their (read, hap) tile batches bucketed by padded shape, and all regions
+sharing a bucket are scored in ONE indexed-kernel launch — amortizing
+dispatch latency and filling the chip.
+"""
+
+import dataclasses
+
+import numpy as np
+
+from .. import constants as C
+from ..ops import pairhmm
+from ..ops.pairhmm import prep
+from ..ops.pairhmm.api import log10_with_rescue, normalize_likelihoods, \
+    poorly_modelled_mask
+
+
+@dataclasses.dataclass
+class RegionJob:
+    key: object
+    reads: list
+    haps: list             # bytes
+    pcr_model: str
+    batch: object = None   # PairBatch
+    result: object = None  # (lik[h][r_kept], kept_indices)
+
+
+class PairHMMScheduler:
+    """Collect region scoring jobs; flush in bucketed mega-batches."""
+
+    def __init__(self, engine="auto", min_quality_threshold=None):
+        self.engine = engine
+        self.mqt = (C.MIN_QUALITY_THRESHOLD if min_quality_threshold is None
+                    else min_quality_threshold)
+        self.jobs = []
+
+    def submit(self, key, reads, hap_seqs, pcr_model="CONSERVATIVE"):
+        job = RegionJob(key=key, reads=reads, haps=list(hap_seqs),
+                       pcr_model=pcr_model)
+        self.jobs.append(job)
+        return job
+
+    # ------------------------------------------------------------------
+    def run(self):
+        """Score all submitted jobs; returns {key: (lik, kept)}."""
+        import jax
+
+        use_indexed = (self.engine in ("auto", "pallas")
+                       and jax.default_backend() == "tpu")
+        for job in self.jobs:
+            job.batch = prep.build_pair_batch(
+                job.reads, job.haps, pcr_model=job.pcr_model,
+                min_quality_threshold=self.mqt)
+
+        if use_indexed:
+            self._run_indexed()
+        else:
+            self._run_single()
+
+        out = {}
+        for job in self.jobs:
+            out[job.key] = job.result
+        self.jobs = []
+        return out
+
+    def _postprocess(self, job, raw_matrix):
+        lik_hr = log10_with_rescue(raw_matrix, job.reads, job.haps,
+                                   pcr_model=job.pcr_model,
+                                   min_quality_threshold=self.mqt)
+        lik_rh = normalize_likelihoods(lik_hr.T)
+        drop = poorly_modelled_mask([len(r.bases) for r in job.reads],
+                                    lik_rh)
+        kept = np.nonzero(~drop)[0]
+        job.result = (lik_rh[kept].T.copy(), kept)
+
+    def _run_single(self):
+        from .. import ops
+        for job in self.jobs:
+            raw = pairhmm.pairhmm_raw(job.batch, engine=self.engine)
+            self._postprocess(job, job.batch.result_matrix(raw))
+
+    def _run_indexed(self):
+        """Group jobs by (Lr, Lh) bucket; one indexed launch per group."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops.pairhmm.indexed import pairhmm_pallas_indexed
+
+        groups = {}
+        for job in self.jobs:
+            b = job.batch
+            groups.setdefault((b.max_read_len, b.max_hap_len),
+                              []).append(job)
+
+        for (lr, lh), jobs in groups.items():
+            trans, rbase, rlen, hbase, hlen = [], [], [], [], []
+            pairs = []        # (job, h_tile_global, r_tile_global)
+            for job in jobs:
+                b = job.batch
+                r_off = len(rlen)
+                h_off = len(hlen)
+                for g in range(b.gr):
+                    trans.append(b.trans[g])
+                    rbase.append(b.rbase[g])
+                    rlen.append(b.rlen[g])
+                for g in range(b.gh):
+                    hbase.append(b.hbase[g])
+                    hlen.append(b.hlen[g])
+                for hh in range(b.gh):
+                    for rr in range(b.gr):
+                        pairs.append((job, h_off + hh, r_off + rr))
+
+            G = len(pairs)
+            G_pad = 1 << max(0, (G - 1).bit_length())  # pow2 bucket
+            hidx = np.zeros(G_pad, dtype=np.int32)
+            ridx = np.zeros(G_pad, dtype=np.int32)
+            for i, (_, hh, rr) in enumerate(pairs):
+                hidx[i] = hh
+                ridx[i] = rr
+
+            raw = np.asarray(pairhmm_pallas_indexed(
+                jnp.asarray(np.stack(trans)), jnp.asarray(np.stack(rbase)),
+                jnp.asarray(np.stack(rlen)), jnp.asarray(np.stack(hbase)),
+                jnp.asarray(np.stack(hlen)), jnp.asarray(hidx),
+                jnp.asarray(ridx)))
+
+            # scatter per-job results back into (GH, GR, 8, 128) layouts
+            per_job = {}
+            for i, (job, hh, rr) in enumerate(pairs):
+                per_job.setdefault(id(job), {})[(hh, rr)] = raw[i]
+            for job in jobs:
+                b = job.batch
+                full = np.zeros((b.gh, b.gr, 8, 128), dtype=np.float32)
+                tiles = per_job[id(job)]
+                h_off = min(h for h, _ in tiles)
+                r_off = min(r for _, r in tiles)
+                for (hh, rr), tile in tiles.items():
+                    full[hh - h_off, rr - r_off] = tile
+                self._postprocess(job, b.result_matrix(full))
