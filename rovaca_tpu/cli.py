@@ -47,6 +47,13 @@ def run_haplotype_caller(argv):
     p.add_argument("--pairhmm-engine", default="auto",
                    choices=["auto", "pallas", "xla"])
     p.add_argument("--sample-name", default=None)
+    p.add_argument("-t", "--host-workers", type=int, default=1,
+                   help="host worker processes for region preparation")
+    p.add_argument("--assemble-output", default=None,
+                   help="dump per-region reads+haplotypes for golden diffs")
+    p.add_argument("--shards", type=int, default=1,
+                   help="interval-sharded data-parallel run: N shard "
+                        "processes with coordinate-ordered output merge")
     a = p.parse_args(argv)
 
     import os
@@ -63,6 +70,22 @@ def run_haplotype_caller(argv):
                   file=sys.stderr)
             return 2
 
+    if a.shards > 1:
+        from rovaca_tpu.parallel.sharded_runner import run_sharded
+        passthrough = []
+        skip = False
+        it = iter(argv)
+        for tok in it:
+            if tok in ("-o", "--output", "--shards", "-L", "--target-span"):
+                next(it, None)
+                continue
+            passthrough.append(tok)
+        t0 = time.time()
+        counts = run_sharded(passthrough, a.shards, a.output)
+        print(f"[rovaca_tpu] sharded x{a.shards}: {sum(counts)} records "
+              f"in {time.time() - t0:.1f}s", file=sys.stderr)
+        return 0
+
     bands = (tuple(int(x) for x in a.gq_bands.split(","))
              if a.gq_bands else C.DEFAULT_GVCF_GQ_BANDS)
     args = HCArgs(bam_paths=a.bams, reference_path=a.reference,
@@ -74,7 +97,9 @@ def run_haplotype_caller(argv):
                   dbsnp_path=a.dbsnp, recal_table=a.bqsr_recal_table,
                   sample_name=a.sample_name,
                   pairhmm_engine=a.pairhmm_engine,
-                  target_span=a.target_span)
+                  target_span=a.target_span,
+                  host_workers=a.host_workers,
+                  assemble_output_path=a.assemble_output)
     t0 = time.time()
     stats = HaplotypeCaller(args).run()
     dt = time.time() - t0

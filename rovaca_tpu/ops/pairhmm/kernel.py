@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ... import constants as C
 
 F32 = jnp.float32
-ROWS_PER_ITER = 8
+ROWS_PER_ITER = 4
 COLS_PER_ITER = 8
 
 

@@ -1,0 +1,92 @@
+"""Interval-sharded multi-process/multi-host run driver.
+
+The BASELINE north star: FASTA replicated per host, genomic intervals sharded
+data-parallel, per-shard VCF streams merged in coordinate order (the
+reference's source_id-ordered writer merge — reference: src/haplotypecaller/
+writer/writer.cpp:147-196 — lifted to shard granularity).
+
+Each shard is an independent CLI invocation restricted to its core span with
+boundary context; shard outputs concatenate in genome order (a shard only
+emits records whose start lies in its core span, so the merge is exact).
+On a multi-host pod, shards map to hosts (jax.process_index()); here they run
+as local subprocesses sharing the chip.
+"""
+
+import os
+import subprocess
+import sys
+
+from ..io.fasta import FastaFile
+from .sharding import shard_intervals
+
+
+def compute_shards(reference_path, n_shards, contig=None, start=None,
+                   end=None):
+    """Shard (contig, core_start, core_end) spans by base count."""
+    fasta = FastaFile(reference_path)
+    if contig is not None:
+        intervals = [(contig, start or 0,
+                      end or fasta.contig_length(contig))]
+    else:
+        intervals = [(c, 0, length)
+                     for c, length in fasta.contig_dict.items()]
+    return shard_intervals(intervals, n_shards)
+
+
+def run_sharded(cli_args, n_shards, output_path, parallel=True):
+    """Run the HaplotypeCaller CLI once per shard and merge outputs.
+
+    cli_args: the argv list WITHOUT -o/-L (they're added per shard).
+    Returns the list of per-shard record counts.
+    """
+    ref = cli_args[cli_args.index("-r") + 1] if "-r" in cli_args else \
+        cli_args[cli_args.index("--reference") + 1]
+    shards = compute_shards(ref, n_shards)
+
+    procs = []
+    shard_files = []
+    for si, shard in enumerate(shards):
+        if not shard:
+            continue
+        # one invocation per contiguous span in the shard
+        for pi, (contig, _ps, _pe, core_s, core_e) in enumerate(shard):
+            out = f"{output_path}.shard{si:04d}_{pi:03d}"
+            shard_files.append(out)
+            argv = [sys.executable, "-m", "rovaca_tpu.cli",
+                    "HaplotypeCaller", *cli_args, "-o", out,
+                    "-L", f"{contig}:{core_s + 1}-{core_e}"]
+            env = dict(os.environ)
+            if parallel:
+                procs.append(subprocess.Popen(argv, env=env,
+                                              stderr=subprocess.DEVNULL))
+            else:
+                subprocess.run(argv, env=env, check=True)
+    for p in procs:
+        if p.wait() != 0:
+            raise RuntimeError(f"shard process failed: {p.args}")
+
+    counts = merge_shard_vcfs(shard_files, output_path)
+    for f in shard_files:
+        os.unlink(f)
+    return counts
+
+
+def merge_shard_vcfs(shard_files, output_path):
+    """Coordinate-ordered merge: header from shard 0, bodies concatenated
+    (shards are genome-ordered and emit only their core span)."""
+    counts = []
+    with open(output_path, "w") as out:
+        wrote_header = False
+        for path in shard_files:
+            n = 0
+            with open(path) as fh:
+                for line in fh:
+                    if line.startswith("#"):
+                        if not wrote_header:
+                            out.write(line)
+                        continue
+                    out.write(line)
+                    n += 1
+            wrote_header = True
+            counts.append(n)
+    return counts

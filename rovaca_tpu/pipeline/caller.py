@@ -41,6 +41,8 @@ class HCArgs:
     sample_name: str = None
     pairhmm_engine: str = "auto"
     target_span: str = None    # "chr20:1000000-2000000" restriction
+    host_workers: int = 1
+    assemble_output_path: str = None
 
 
 def parse_span(span):
@@ -82,8 +84,12 @@ class HaplotypeCaller:
         config = CallerConfig(gvcf_mode=args.gvcf_mode,
                               pcr_indel_model=args.pcr_indel_model,
                               sample_name=sample,
-                              pairhmm_engine=args.pairhmm_engine)
+                              pairhmm_engine=args.pairhmm_engine,
+                              assemble_output_path=args.assemble_output_path)
         caller = RegionCaller(config, self.fasta.contig_dict)
+        from ..parallel.host_executor import HostExecutor
+        self.executor = HostExecutor(args.host_workers, config,
+                                     self.fasta.contig_dict)
 
         span = parse_span(args.target_span) if args.target_span else None
 
@@ -103,6 +109,7 @@ class HaplotypeCaller:
             if combiner:
                 combiner.finish()
             writer.close()
+            self.executor.close()
         return self.stats
 
     # ------------------------------------------------------------------
@@ -145,7 +152,10 @@ class HaplotypeCaller:
         lo = min(r.pos for r in reads)
         hi = max(r.end for r in reads)
         if span and span[1] is not None:
-            lo, hi = max(lo, span[1]), min(hi, span[2])
+            # process with boundary context beyond the owned span; emission is
+            # still filtered to the core span (regions never straddle shards)
+            pad = C.REGION_MAX_SIZE + C.REGION_PADDING
+            lo, hi = max(lo, span[1] - pad), min(hi, span[2] + pad)
         caller.genotyping.clear_upstream_deletions()
 
         emit_inactive = args.gvcf_mode
@@ -162,11 +172,13 @@ class HaplotypeCaller:
                 emit_inactive=emit_inactive, target_mask=mask)
             # prepare all regions of the window, score them in one batched
             # device pass, then genotype (pipeline/scheduler.py)
+            from ..utils.refwindow import RefWindow
             from .scheduler import PairHMMScheduler
             sched = PairHMMScheduler(engine=args.pairhmm_engine)
             prepared = {}
             ready_calls = {}
             ordered = []
+            tasks = []
             for region in regions:
                 # regions fully in the overlap margin belong to the next window
                 if region.start >= win_start + WINDOW_SIZE:
@@ -178,7 +190,11 @@ class HaplotypeCaller:
                                 if r.pos < pad_e and r.end > pad_s]
                 key = (region.start, region.end)
                 ordered.append(key)
-                p = caller.prepare_region(region, region_reads, ref, contig)
+                rw = RefWindow.of(ref, max(0, pad_s - 700),
+                                  min(contig_len - 1, pad_e + 700))
+                tasks.append((key, region, region_reads, rw, contig))
+            results_by_key = self.executor.map_prepare(caller, tasks)
+            for key, p in results_by_key.items():
                 if isinstance(p, list):
                     ready_calls[key] = p
                 else:

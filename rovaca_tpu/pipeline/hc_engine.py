@@ -27,12 +27,13 @@ class PreparedRegion:
     """A region after host-side prep, awaiting PairHMM scoring."""
     region: object
     reads: list
-    ref: bytes
+    ref: object            # RefWindow over the padded region
     contig: str
     haps: list
     call_reads: list
     span: tuple
     variant_span: tuple
+    contig_length: int = 1 << 60
 
 
 @dataclasses.dataclass
@@ -45,6 +46,7 @@ class CallerConfig:
     max_mnp_distance: int = C.MAX_MNP_DISTANCE
     region_padding: int = C.REGION_PADDING
     reference_padding: int = C.REFERENCE_PADDING
+    assemble_output_path: str = None
 
 
 class RegionCaller:
@@ -89,6 +91,9 @@ class RegionCaller:
         window = bytes(ref[pad_start:pad_stop + 1])
         haplotypes = assembler.assemble_region(fin, window, pad_start)
 
+        if cfg.assemble_output_path:
+            self._dump_assembly(region, contig, fin, haplotypes)
+
         trim = trimming.trim_region(
             haplotypes, window, pad_start, region.start, region.end,
             pad_start, pad_stop, cfg.max_mnp_distance)
@@ -113,22 +118,34 @@ class RegionCaller:
         if not call_reads:
             return []
 
-        return PreparedRegion(region=region, reads=reads, ref=ref,
+        from ..utils.refwindow import RefWindow
+        # extra margin: reads attached to the region can start before the
+        # padded span, and the GVCF pileup path walks their full alignments
+        margin = 600
+        ref_view = RefWindow.of(ref, max(0, pad_start - margin),
+                                min(contig_len - 1, pad_stop + margin))
+        return PreparedRegion(region=region, reads=reads, ref=ref_view,
                               contig=contig, haps=haps,
                               call_reads=call_reads, span=(span_start,
                                                            span_stop),
-                              variant_span=(var_start, var_stop))
+                              variant_span=(var_start, var_stop),
+                              contig_length=contig_len)
 
     def finish_region(self, prepared, lik_matrix, kept):
         """Genotype a scored region."""
         cfg = self.config
         p = prepared
-        self.genotyping.args.contig_length = self.contig_lengths.get(
-            p.contig, len(p.ref))
+        self.genotyping.args.contig_length = p.contig_length
         kept_reads = [p.call_reads[i] for i in kept]
         if not kept_reads:
             return []
         hap_lik = AlleleLikelihoods(list(p.haps), kept_reads, lik_matrix)
+        # project reads through their best haplotype into ref coordinates
+        # (realign_reads_to_their_best_haplotype, haplotypecaller_engine:264)
+        from ..genotype.alignment_utils import \
+            realign_reads_to_their_best_haplotype
+        realign_reads_to_their_best_haplotype(hap_lik)
+        kept_reads = hap_lik.reads
 
         span_start, span_stop = p.span
         var_start, var_stop = p.variant_span
@@ -143,6 +160,19 @@ class RegionCaller:
                 p.region, p.reads, p.ref, p.contig, calls, kept_reads,
                 p.variant_span)
         return calls
+
+    def _dump_assembly(self, region, contig, reads, haplotypes):
+        """Golden-diff dump: region, sorted reads, lexicographically sorted
+        haplotypes (--assemble-output; haplotypecaller_engine.cpp:339-395)."""
+        with open(self.config.assemble_output_path, "a") as fh:
+            fh.write(f"{contig}:{region.start}-{region.end}\t"
+                     f"reads: {len(reads)}\t"
+                     f"haplotypes: {len(haplotypes)}\n")
+            for r in sorted(reads, key=lambda r: (r.pos, r.name)):
+                fh.write(f"{r.name}\t{r.pos}\n")
+            for h in sorted(haplotypes, key=lambda h: h.bases):
+                fh.write(h.bases.decode() + "\n")
+            fh.write("\n")
 
     # -- GVCF support (filled in by the reference-confidence model) --------
     def _reference_confidence_only(self, region, reads, ref, contig):

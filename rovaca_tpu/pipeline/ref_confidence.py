@@ -143,11 +143,14 @@ def build_position_obs(reads, ref, start, end):
                 status = 1 if is_ref else 0
                 obs.hist[status, off, bq] += 1
                 obs.depth[status, off] += 1
-                # indel informativeness at this position
+                # indel informativeness at this position (bounded ref slice:
+                # only len(read)+indel bases past rp are ever compared)
                 prev_del = idx + 1 < len(aligned) and aligned[idx + 1][2]
                 next_ins = False  # insertions not tracked per-element here
                 if not (prev_del or next_ins):
-                    if _mismatch_qual_suffix_sums(rb, rq, ref, ai, rp):
+                    bound = len(rb) - ai + C.MAX_INDEL_SIZE + 1
+                    ref_slice = ref[rp:rp + bound]
+                    if _mismatch_qual_suffix_sums(rb, rq, ref_slice, ai, 0):
                         obs.indel_informative[off] += 1
             ai += 1
     return obs
