@@ -170,6 +170,8 @@ def assemble_with_kmer(reads, ref_window, kmer_size,
         return None
     if not allow_low_complexity and g.is_low_quality():
         return None
+    g.recover_dangling_tails()
+    g.recover_dangling_heads()
     g.remove_paths_not_connected_to_ref()
     if g.ref_source is None or g.ref_sink is None:
         return None

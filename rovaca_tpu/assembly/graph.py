@@ -248,6 +248,257 @@ class ReadThreadingGraph:
             stack.extend(n for n in nxt if n not in seen)
         return seen
 
+    # --- dangling-end recovery (hc_assemble_base_graph.c:123-930; GATK
+    #     recoverDanglingTails / recoverDanglingHeads legacy) ---
+    MIN_DANGLING_BRANCH_LENGTH = 4     # hc_assemble_base_graph.h:5
+    MAX_CIGAR_COMPLEXITY = 3
+
+    def _is_reference_vertex(self, v):
+        return (any(e.is_ref for e in v.out_edges.values())
+                or any(e.is_ref for e in v.in_edges.values()))
+
+    def _path_bases(self, path, expand_source=False):
+        out = []
+        for i, v in enumerate(path):
+            if expand_source and v.in_degree == 0:
+                out.append(v.kmer)
+            else:
+                out.append(v.kmer[-1:])
+        return b"".join(out)
+
+    def _find_path_upwards_to_lca(self, vertex, prune_factor=PRUNE_FACTOR):
+        """[LCA, ..., vertex] or None (find_path_upwards_to_lowest_common_
+        ancestor; low-weight edges reset the collected path)."""
+        path = []
+        visited = set()
+        v = vertex
+        while (v is not None and v.in_degree == 1
+               and not (v.in_degree != 1 or v.out_degree >= 2)):
+            (parent, edge) = next(iter(v.in_edges.items()))
+            if edge.multiplicity < prune_factor:
+                path = []
+            else:
+                path.insert(0, v)
+            v = parent
+            if id(v) in visited:
+                return None
+            visited.add(id(v))
+        if v is not None:
+            path.insert(0, v)
+        if v is not None and v.out_degree > 1:
+            return path
+        return None
+
+    def _reference_path_from(self, start, forward):
+        """Vertices from `start` following reference edges."""
+        path = [start]
+        v = start
+        seen = {id(start)}
+        while True:
+            nxt = None
+            edges = v.out_edges if forward else v.in_edges
+            for w, e in edges.items():
+                if e.is_ref:
+                    nxt = w
+                    break
+            if nxt is None or id(nxt) in seen:
+                break
+            path.append(nxt)
+            seen.add(id(nxt))
+            v = nxt
+        return path
+
+    @staticmethod
+    def _longest_suffix_match(ref_seq, alt_seq, ref_end_index):
+        n = 0
+        i, j = ref_end_index, len(alt_seq) - 1
+        while i >= 0 and j >= 0 and ref_seq[i] == alt_seq[j]:
+            n += 1
+            i -= 1
+            j -= 1
+        return n
+
+    def recover_dangling_tails(self):
+        from .sw import DANGLING_END_PARAMS, OverhangStrategy, sw_align
+        from ..reads.cigar import CigarOp
+
+        recovered = 0
+        for v in list(self.vertices):
+            if v.out_degree != 0 or v is self.ref_sink:
+                continue
+            path = self._find_path_upwards_to_lca(v)
+            if (path is None
+                    or len(path) < self.MIN_DANGLING_BRANCH_LENGTH + 1
+                    or path[0] is self.ref_source):
+                continue
+            lca = path[0]
+            if not self._is_reference_vertex(lca):
+                continue
+            ref_path = self._reference_path_from(lca, forward=True)
+            if len(ref_path) < 2:
+                continue
+            alt_seq = self._path_bases(path)
+            ref_seq = self._path_bases(ref_path)
+            try:
+                res = sw_align(ref_seq, alt_seq, DANGLING_END_PARAMS,
+                               OverhangStrategy.LEADING_INDEL)
+            except ValueError:
+                continue
+            elems = [list(e) for e in res.cigar.elements]
+            while elems and elems[-1][0] in (CigarOp.D,):
+                elems.pop()
+            if not elems or len(elems) > self.MAX_CIGAR_COMPLEXITY:
+                continue
+            if elems[-1][0] != CigarOp.M:
+                continue
+            last_ref_index = sum(n for op, n in elems
+                                 if op in (CigarOp.M, CigarOp.D)) - 1
+            matching_suffix = min(
+                self._longest_suffix_match(ref_seq, alt_seq, last_ref_index),
+                elems[-1][1])
+            if matching_suffix == 0:
+                continue
+            cigar_read_len = sum(n for op, n in elems
+                                 if op in (CigarOp.M, CigarOp.I))
+            alt_index = max(cigar_read_len - matching_suffix - 1, 0)
+            leading_del = (elems[0][0] == CigarOp.D
+                           and elems[0][1] + matching_suffix
+                           == last_ref_index + 1)
+            ref_index = (last_ref_index - matching_suffix + 1
+                         + (1 if leading_del else 0))
+            if ref_index == 0 or ref_index >= len(ref_path) \
+                    or alt_index >= len(path):
+                continue
+            alt_v = path[alt_index]
+            ref_v = ref_path[ref_index]
+            if ref_v not in alt_v.out_edges:
+                e = Edge(1, False)
+                alt_v.out_edges[ref_v] = e
+                ref_v.in_edges[alt_v] = e
+                recovered += 1
+        return recovered
+
+    def recover_dangling_heads(self):
+        """Legacy head recovery: prefix match on reversed sequences with a
+        mismatch budget of branch_length/kmer
+        (merge_dangling_head_legacy, best_prefix_match_legacy)."""
+        from .sw import DANGLING_END_PARAMS, OverhangStrategy, sw_align
+        from ..reads.cigar import CigarOp
+
+        recovered = 0
+        for v in list(self.vertices):
+            if v.in_degree != 0 or v is self.ref_source:
+                continue
+            # walk down to the highest common descendant on the ref path
+            path = [v]
+            w = v
+            ok = True
+            while not self._is_reference_vertex(w):
+                if w.out_degree != 1 or w.in_degree >= 2:
+                    ok = False
+                    break
+                w = next(iter(w.out_edges))
+                if w in path:
+                    ok = False
+                    break
+                path.append(w)
+            if not ok or len(path) < self.MIN_DANGLING_BRANCH_LENGTH + 1:
+                continue
+            hcd = path[-1]
+            if hcd is self.ref_sink:
+                continue
+            alt_path = list(reversed(path))       # [HCD, ..., head]
+            ref_path = self._reference_path_from(hcd, forward=False)
+            if len(ref_path) < 2:
+                continue
+            # reversed-orientation bases walking outward from the HCD; the
+            # in-degree-0 endpoint contributes its whole kmer reversed
+            # (GATK getBasesForPath(expandSource=true))
+            alt_seq = b"".join(
+                v.kmer[::-1] if v.in_degree == 0 else v.kmer[-1:]
+                for v in alt_path)
+            ref_seq = b"".join(
+                v.kmer[::-1] if v.in_degree == 0 else v.kmer[-1:]
+                for v in ref_path)
+            try:
+                res = sw_align(ref_seq, alt_seq, DANGLING_END_PARAMS,
+                               OverhangStrategy.LEADING_INDEL)
+            except ValueError:
+                continue
+            elems = list(res.cigar.elements)
+            if not elems or len(elems) > self.MAX_CIGAR_COMPLEXITY \
+                    or elems[0][0] != CigarOp.M:
+                continue
+            max_index = min(elems[0][1], len(ref_seq), len(alt_seq))
+            max_mismatches = max(1, len(path) // self.k)
+            mismatches = 0
+            last_good = -1
+            for idx in range(max_index):
+                if ref_seq[idx] != alt_seq[idx]:
+                    mismatches += 1
+                    if mismatches > max_mismatches:
+                        last_good = -1
+                        break
+                    last_good = idx
+            indexes_to_merge = last_good
+            if indexes_to_merge <= 0:
+                continue
+            if indexes_to_merge >= len(ref_path) - 1:
+                continue
+            if indexes_to_merge >= len(alt_path):
+                alt_path = self._extend_dangling_path(
+                    alt_path, ref_path, res.cigar,
+                    indexes_to_merge - len(alt_path) + 2)
+                if alt_path is None:
+                    continue
+            from_v = ref_path[indexes_to_merge + 1]
+            to_v = alt_path[indexes_to_merge]
+            if to_v not in from_v.out_edges:
+                e = Edge(1, False)
+                from_v.out_edges[to_v] = e
+                to_v.in_edges[from_v] = e
+                recovered += 1
+        return recovered
+
+    def _extend_dangling_path(self, alt_path, ref_path, cigar, n_extend):
+        """Extend a dangling head path upstream with reference bases
+        (extend_dangling_path_against_reference,
+        hc_assemble_base_graph.c:757-813)."""
+        from ..reads.cigar import CigarOp
+
+        ref_len = sum(n for op, n in cigar
+                      if op in (CigarOp.M, CigarOp.D))
+        read_len = sum(n for op, n in cigar
+                       if op in (CigarOp.M, CigarOp.I))
+        offset = ref_len - read_len
+        index_of_ref_node = len(alt_path) - 1 + offset + n_extend
+        if not (0 <= index_of_ref_node < len(ref_path)):
+            return None
+
+        dangling_source = alt_path[-1]
+        alt_path = alt_path[:-1]
+        ref_v = ref_path[index_of_ref_node]
+        seq = ref_v.kmer[:n_extend] + dangling_source.kmer
+
+        # drop the old source and its edge; rebuild extended chain
+        out_items = list(dangling_source.out_edges.items())
+        if not out_items:
+            return None
+        prev_v, source_edge = out_items[0]
+        weight = source_edge.multiplicity
+        del dangling_source.out_edges[prev_v]
+        del prev_v.in_edges[dangling_source]
+
+        for i in range(n_extend, 0, -1):
+            kmer = seq[i:i + self.k]
+            new_v = self._new_vertex(kmer, unique=False)
+            e = Edge(weight, False)
+            new_v.out_edges[prev_v] = e
+            prev_v.in_edges[new_v] = e
+            alt_path.append(new_v)
+            prev_v = new_v
+        return alt_path
+
     def to_sequence_graph(self):
         """Each vertex contributes its last base; the ref source contributes
         its whole kmer (GATK convertToSequenceGraph)."""

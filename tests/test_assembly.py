@@ -209,3 +209,81 @@ class TestOverlappingQuals:
             assert max(a.quals[4:8]) <= 20
             assert max(b.quals[0:4]) <= 20
         del b_bases
+
+
+class TestDanglingRecovery:
+    def _graph_for(self, ref, reads, k=10):
+        from rovaca_tpu.assembly.graph import ReadThreadingGraph
+        g = ReadThreadingGraph(k)
+        g.determine_non_unique_kmers([ref] + reads)
+        g.thread_sequence(ref, is_ref=True)
+        for s in reads:
+            g.thread_sequence(s)
+        g.prune_low_weight_chains()
+        return g
+
+    def test_dangling_tail_recovered(self):
+        rng = np.random.default_rng(21)
+        ref = rng_seq(rng, 80).encode()
+        # SNP at 70, alt reads end at 77: every kmer after the SNP still
+        # contains it (k=10), so the alt path cannot rejoin and dangles
+        alt = bytearray(ref)
+        alt[70] = ord("A") if alt[70] != ord("A") else ord("T")
+        alt_frag = bytes(alt[30:77])
+        reads = [ref[20:80]] * 4 + [alt_frag] * 4
+        g = self._graph_for(ref, reads)
+        sinks_before = [v for v in g.vertices
+                        if v.out_degree == 0 and v is not g.ref_sink]
+        assert sinks_before, "expected a dangling tail in this setup"
+        n = g.recover_dangling_tails()
+        assert n >= 1
+        # alt haplotype should now be reachable source->sink
+        g.remove_paths_not_connected_to_ref()
+        sg = g.to_sequence_graph()
+        sg.zip_linear_chains()
+        from rovaca_tpu.assembly.graph import find_k_best_haplotypes
+        seqs = {p[0] for p in find_k_best_haplotypes(sg)}
+        assert any(bytes(alt) == s[:len(alt)] or s in bytes(alt)
+                   or bytes(alt[:77]) in s for s in seqs), \
+            "alt-carrying hap not recovered"
+
+    def test_dangling_head_recovered(self):
+        rng = np.random.default_rng(22)
+        ref = rng_seq(rng, 80).encode()
+        # SNP at 20, alt reads start at 15: every kmer up to the SNP
+        # contains it, so the alt path's head dangles
+        alt = bytearray(ref)
+        alt[20] = ord("A") if alt[20] != ord("A") else ord("T")
+        alt_frag = bytes(alt[15:60])
+        reads = [ref[0:60]] * 4 + [alt_frag] * 4
+        g = self._graph_for(ref, reads)
+        heads_before = [v for v in g.vertices
+                        if v.in_degree == 0 and v is not g.ref_source]
+        assert heads_before, "expected a dangling head in this setup"
+        n = g.recover_dangling_heads()
+        assert n >= 1
+        g.remove_paths_not_connected_to_ref()
+        sg = g.to_sequence_graph()
+        sg.zip_linear_chains()
+        from rovaca_tpu.assembly.graph import find_k_best_haplotypes
+        seqs = {p[0] for p in find_k_best_haplotypes(sg)}
+        alt_base = bytes(alt)
+        assert any(alt_base[15:60] in s for s in seqs), \
+            "alt-carrying hap not recovered"
+
+    def test_e2e_edge_snp_recovered_via_dangling(self):
+        rng = np.random.default_rng(23)
+        ref = rng_seq(rng, 100)
+        alt = bytearray(ref.encode())
+        alt[85] = ord("A") if alt[85] != ord("A") else ord("T")
+        reads = []
+        for i in range(8):
+            reads.append(make_read(1000 + 40, ref[40:100],
+                                   quals=[35] * 60, name=f"r{i}"))
+            # alt reads stop at 92: every post-SNP kmer contains the SNP
+            reads.append(make_read(1000 + 50, bytes(alt[50:92]).decode(),
+                                   quals=[35] * 42, name=f"a{i}"))
+        haps = assembler.assemble_region(reads, ref, 1000)
+        alt_mark = bytes(alt[80:92])
+        assert any(alt_mark in h.bases for h in haps), \
+            "edge SNP haplotype missing"
