@@ -51,6 +51,10 @@ def run_haplotype_caller(argv):
                    help="host worker processes for region preparation")
     p.add_argument("--assemble-output", default=None,
                    help="dump per-region reads+haplotypes for golden diffs")
+    p.add_argument("--resume", action="store_true",
+                   help="resume an interrupted run from its checkpoint")
+    p.add_argument("--log-level", default="INFO",
+                   choices=["DEBUG", "INFO", "WARNING", "ERROR"])
     p.add_argument("--shards", type=int, default=1,
                    help="interval-sharded data-parallel run: N shard "
                         "processes with coordinate-ordered output merge")
@@ -99,7 +103,8 @@ def run_haplotype_caller(argv):
                   pairhmm_engine=a.pairhmm_engine,
                   target_span=a.target_span,
                   host_workers=a.host_workers,
-                  assemble_output_path=a.assemble_output)
+                  assemble_output_path=a.assemble_output,
+                  resume=a.resume, log_level=a.log_level)
     t0 = time.time()
     stats = HaplotypeCaller(args).run()
     dt = time.time() - t0

@@ -60,12 +60,13 @@ def _fmt(value):
 
 class VcfWriter:
     def __init__(self, path, contig_dict, sample="SAMPLE", gvcf=False,
-                 gq_bands=None, command_line=None):
+                 gq_bands=None, command_line=None, append=False):
         self.gvcf = gvcf
         opener = gzip.open if path.endswith(".gz") else open
-        self._fh = opener(path, "wt")
+        self._fh = opener(path, "at" if append else "wt")
         self.sample = sample
-        self._write_header(contig_dict, gq_bands or [], command_line)
+        if not append:
+            self._write_header(contig_dict, gq_bands or [], command_line)
         self.records_written = 0
 
     def _write_header(self, contig_dict, gq_bands, command_line):

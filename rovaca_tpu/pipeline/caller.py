@@ -43,6 +43,8 @@ class HCArgs:
     target_span: str = None    # "chr20:1000000-2000000" restriction
     host_workers: int = 1
     assemble_output_path: str = None
+    resume: bool = False
+    log_level: str = "INFO"
 
 
 def parse_span(span):
@@ -74,6 +76,10 @@ class HaplotypeCaller:
 
     def run(self):
         args = self.args
+        from ..utils import logging as rlog
+        log = rlog.init(args.log_level)
+        rlog.banner({k: v for k, v in dataclasses.asdict(args).items()
+                     if v is not None})
         reader = merged_reader(args.bam_paths)
         # peek header for sample name
         from ..io.bam import BamReader
@@ -93,9 +99,41 @@ class HaplotypeCaller:
 
         span = parse_span(args.target_span) if args.target_span else None
 
+        from ..utils.checkpoint import ProgressCheckpoint, \
+            truncate_output_after
+        import os as _os
+        self.checkpoint = None
+        append = False
+        if args.resume:
+            self.checkpoint = ProgressCheckpoint(args.output_path)
+            if _os.path.exists(args.output_path) and \
+                    self.checkpoint.state["contigs"]:
+                for contig, win in self.checkpoint.state["contigs"].items():
+                    truncate_output_after(args.output_path, contig,
+                                          win + WINDOW_SIZE)
+                append = True
+                log.info("resuming from checkpoint: %s",
+                         self.checkpoint.state["contigs"])
+
         writer = VcfWriter(args.output_path, self.fasta.contig_dict,
                            sample=sample, gvcf=args.gvcf_mode,
-                           gq_bands=list(args.gq_bands))
+                           gq_bands=list(args.gq_bands), append=append)
+
+        # close output cleanly on SIGINT/SIGTERM (rovaca_signal_handler.h)
+        import signal as _signal
+
+        def _on_signal(signum, frame):
+            log.warning("signal %d received; closing output", signum)
+            try:
+                writer.close()
+            finally:
+                _os._exit(1)
+
+        for sig in (_signal.SIGINT, _signal.SIGTERM):
+            try:
+                _signal.signal(sig, _on_signal)
+            except ValueError:
+                pass  # not the main thread
         combiner = None
         if args.gvcf_mode:
             from .block_combiner import BlockCombiner
@@ -110,6 +148,10 @@ class HaplotypeCaller:
                 combiner.finish()
             writer.close()
             self.executor.close()
+            if self.checkpoint is not None:
+                self.checkpoint.finish()
+        from ..utils import logging as rlog2
+        rlog2.teardown_counters(self.stats)
         return self.stats
 
     # ------------------------------------------------------------------
@@ -159,7 +201,12 @@ class HaplotypeCaller:
         caller.genotyping.clear_upstream_deletions()
 
         emit_inactive = args.gvcf_mode
+        resume_floor = (self.checkpoint.completed_through(contig)
+                        if self.checkpoint is not None else -1)
+        from ..utils import logging as rlog
         for win_start in range(max(0, lo - WINDOW_MARGIN), hi, WINDOW_SIZE):
+            if win_start <= resume_floor:
+                continue
             win_end = min(contig_len, win_start + WINDOW_SIZE + WINDOW_MARGIN)
             win_reads = [r for r in reads
                          if r.pos < win_end and r.end > win_start]
@@ -224,5 +271,11 @@ class HaplotypeCaller:
                         combiner.submit(call)
                     else:
                         writer.write(call)
+            if (self.checkpoint is not None and combiner is None):
+                self.checkpoint.mark_window(contig, win_start)
         if combiner is not None:
             combiner.flush_contig()
+        if self.checkpoint is not None and combiner is not None:
+            self.checkpoint.mark_window(contig, hi)
+        rlog.logger.info("contig %s done: %d regions, %d records so far",
+                         contig, self.stats["regions"], self.stats["calls"])
