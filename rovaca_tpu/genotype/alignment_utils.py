@@ -33,16 +33,19 @@ def hap_to_ref_map(hap):
     return out
 
 
-def realign_read_to_haplotype(read, hap, h2r=None):
+def realign_read_to_haplotype(read, hap, h2r=None, sw_result=None):
     """New ReadRecord aligned to the reference through `hap`, or the
     original read if the SW alignment is unusable."""
     if h2r is None:
         h2r = hap_to_ref_map(hap)
-    try:
-        res = sw_align(hap.bases, read.bases, READ_TO_HAPLOTYPE_PARAMS,
-                       OverhangStrategy.SOFTCLIP)
-    except ValueError:
-        return read
+    if sw_result is not None:
+        res = sw_result
+    else:
+        try:
+            res = sw_align(hap.bases, read.bases, READ_TO_HAPLOTYPE_PARAMS,
+                           OverhangStrategy.SOFTCLIP)
+        except ValueError:
+            return read
     if res.alignment_offset < 0:
         return read
 
@@ -97,7 +100,12 @@ def realign_read_to_haplotype(read, hap, h2r=None):
 def realign_reads_to_their_best_haplotype(likelihoods):
     """Replace evidence reads with realigned versions (per-read best
     haplotype, ties to the reference haplotype). Mutates `likelihoods.reads`.
+    SW alignments run in one multithreaded native batch when available.
     """
+    from ..assembly.cigar_calc import SW_PAD  # noqa: F401 (doc anchor)
+    from ..native import sw_native
+    from ..reads.cigar import Cigar
+
     haps = likelihoods.alleles
     if not haps:
         return likelihoods
@@ -105,7 +113,7 @@ def realign_reads_to_their_best_haplotype(likelihoods):
     ref_idx = next((i for i, h in enumerate(haps)
                     if getattr(h, "is_ref", False)), 0)
     maps = {}
-    new_reads = []
+    best_haps = []
     for r, read in enumerate(likelihoods.reads):
         col = m[:, r]
         best = int(np.argmax(col))
@@ -114,7 +122,35 @@ def realign_reads_to_their_best_haplotype(likelihoods):
         hap = haps[best]
         if id(hap) not in maps:
             maps[id(hap)] = hap_to_ref_map(hap)
-        new_reads.append(realign_read_to_haplotype(read, hap,
-                                                   maps[id(hap)]))
+        best_haps.append(hap)
+
+    sw_results = [None] * len(likelihoods.reads)
+    if sw_native.available():
+        # exact-substring shortcut mirrors sw_align's fast path
+        from ..assembly.sw import SWResult
+        from ..reads.cigar import CigarOp
+        batch_idx = []
+        pairs = []
+        for r, read in enumerate(likelihoods.reads):
+            hap = best_haps[r]
+            idx = hap.bases.rfind(read.bases)
+            if idx != -1:
+                sw_results[r] = SWResult(
+                    Cigar([(CigarOp.M, len(read.bases))]), idx)
+            else:
+                batch_idx.append(r)
+                pairs.append((hap.bases, read.bases))
+        for r, res in zip(batch_idx, sw_native.align_batch(
+                pairs, READ_TO_HAPLOTYPE_PARAMS,
+                int(OverhangStrategy.SOFTCLIP))):
+            if res is not None:
+                ops, lens, offset = res
+                sw_results[r] = SWResult(Cigar(zip(ops, lens)), offset)
+
+    new_reads = []
+    for r, read in enumerate(likelihoods.reads):
+        hap = best_haps[r]
+        new_reads.append(realign_read_to_haplotype(
+            read, hap, maps[id(hap)], sw_result=sw_results[r]))
     likelihoods.reads = new_reads
     return likelihoods

@@ -31,6 +31,30 @@ struct Seg {
 extern "C" int rovaca_sw_align(
     const uint8_t* ref, int ref_len, const uint8_t* alt, int alt_len,
     int w_match, int w_mismatch, int w_open, int w_extend, int overhang,
+    uint8_t* out_ops, int32_t* out_lens, int max_cigar, int32_t* out_offset);
+
+// Batched entry: n alignments, flattened sequence buffers with offsets,
+// per-alignment output slots of max_cigar elements. Parallelized across
+// alignments with OpenMP (bypasses the Python GIL for realignment batches).
+extern "C" void rovaca_sw_align_batch(
+    int n, const uint8_t* ref_buf, const int64_t* ref_off,
+    const int32_t* ref_len, const uint8_t* alt_buf, const int64_t* alt_off,
+    const int32_t* alt_len, int w_match, int w_mismatch, int w_open,
+    int w_extend, int overhang, uint8_t* out_ops, int32_t* out_lens,
+    int max_cigar, int32_t* out_counts, int32_t* out_offsets) {
+#pragma omp parallel for schedule(dynamic, 4)
+    for (int k = 0; k < n; k++) {
+        out_counts[k] = rovaca_sw_align(
+            ref_buf + ref_off[k], ref_len[k], alt_buf + alt_off[k],
+            alt_len[k], w_match, w_mismatch, w_open, w_extend, overhang,
+            out_ops + (size_t)k * max_cigar, out_lens + (size_t)k * max_cigar,
+            max_cigar, out_offsets + k);
+    }
+}
+
+extern "C" int rovaca_sw_align(
+    const uint8_t* ref, int ref_len, const uint8_t* alt, int alt_len,
+    int w_match, int w_mismatch, int w_open, int w_extend, int overhang,
     uint8_t* out_ops, int32_t* out_lens, int max_cigar, int32_t* out_offset) {
     if (!ref || !alt || ref_len <= 0 || alt_len <= 0) return -1;
     const int n = ref_len, m = alt_len;
