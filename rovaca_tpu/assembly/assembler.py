@@ -180,6 +180,7 @@ def assemble_with_kmer(reads, ref_window, kmer_size,
     sg.zip_linear_chains()
     sg.remove_singleton_orphans()
     sg.remove_vertices_not_connected_to_ref_undirected()
+    sg.simplify()
     if sg.ref_source is None or sg.ref_sink is None:
         return None
     paths = find_k_best_haplotypes(sg)

@@ -607,6 +607,107 @@ class SeqGraph:
         if dead:
             self.remove_vertices(dead)
 
+    # --- simplification (hc_assemble_seq_graph.c /
+    #     hc_assemble_vertex_sequence_spliter.c; GATK CommonSuffixSplitter,
+    #     SharedSequenceMerger, MergeDiamonds-equivalent) ---
+    def split_common_suffixes(self):
+        """For a vertex with >=2 incoming vertices sharing a common suffix,
+        hoist the suffix into a new vertex between them (this also covers
+        diamond merging: the diamond bottom is exactly such a vertex)."""
+        changed = False
+        for v in list(self.vertices):
+            if v.in_degree < 2:
+                continue
+            prevs = list(v.in_edges.keys())
+            if any(p is v or p.out_degree != 1 for p in prevs):
+                continue
+            # common suffix
+            suffix_len = min(len(p.seq) for p in prevs)
+            suffix = b""
+            for k in range(1, suffix_len + 1):
+                ch = prevs[0].seq[-k:]
+                if all(p.seq[-k:] == ch for p in prevs):
+                    suffix = ch
+                else:
+                    break
+            if not suffix:
+                continue
+            if all(p.seq == suffix for p in prevs):
+                continue  # identical vertices: SharedSequenceMerger's job
+            if any(len(p.seq) == len(suffix) and p.in_degree == 0
+                   for p in prevs):
+                continue  # would empty a source vertex
+            s = self.add_vertex(suffix)
+            total_mult = 0
+            any_ref = False
+            for p in prevs:
+                e = p.out_edges.pop(v)
+                v.in_edges.pop(p)
+                total_mult += e.multiplicity
+                any_ref |= e.is_ref
+                p.seq = p.seq[:-len(suffix)]
+                if p.seq:
+                    self.add_edge(p, s, e.multiplicity, e.is_ref)
+                else:
+                    # vertex emptied: reattach its parents directly to s
+                    for q, e2 in list(p.in_edges.items()):
+                        q.out_edges.pop(p)
+                        self.add_edge(q, s, e2.multiplicity, e2.is_ref)
+                    p.in_edges.clear()
+                    self.vertices.remove(p)
+                    if p is self.ref_source:
+                        self.ref_source = s
+            self.add_edge(s, v, total_mult, any_ref)
+            changed = True
+        return changed
+
+    def merge_identical_incoming(self):
+        """Merge incoming vertices with identical sequence and identical
+        sole target (SharedSequenceMerger)."""
+        changed = False
+        for v in list(self.vertices):
+            if v.in_degree < 2:
+                continue
+            by_seq = {}
+            for p in v.in_edges:
+                if p.out_degree == 1 and p is not v:
+                    by_seq.setdefault(p.seq, []).append(p)
+            for seq, group in by_seq.items():
+                if len(group) < 2:
+                    continue
+                keep = group[0]
+                for p in group[1:]:
+                    e = p.out_edges.pop(v)
+                    v.in_edges.pop(p)
+                    ke = keep.out_edges.get(v)
+                    if ke is None:
+                        self.add_edge(keep, v, e.multiplicity, e.is_ref)
+                    else:
+                        ke.multiplicity += e.multiplicity
+                        ke.is_ref |= e.is_ref
+                    for q, e2 in list(p.in_edges.items()):
+                        q.out_edges.pop(p)
+                        self.add_edge(q, keep, e2.multiplicity, e2.is_ref)
+                    p.in_edges.clear()
+                    self.vertices.remove(p)
+                    if p is self.ref_source:
+                        self.ref_source = keep
+                    if p is self.ref_sink:
+                        self.ref_sink = keep
+                changed = True
+        return changed
+
+    def simplify(self, max_iterations=6):
+        """Iterate zip + suffix split + identical merge to a fixed point
+        (hc_assemble_seq_graph_simplify_graph)."""
+        for _ in range(max_iterations):
+            self.zip_linear_chains()
+            changed = self.split_common_suffixes()
+            changed |= self.merge_identical_incoming()
+            if not changed:
+                break
+        self.zip_linear_chains()
+
     def remove_vertices_not_connected_to_ref_undirected(self):
         if self.ref_source is None:
             return

@@ -8,8 +8,16 @@ HaplotypeCaller registered, argument parsing/validation, and run dispatch.
 """
 
 import argparse
+import os
 import sys
 import time
+
+# persistent XLA compilation cache: kernel compiles dominate cold TPU runs,
+# especially through remote device tunnels (set before any jax import)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/rovaca_jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
 
 TOOL_REGISTRY = {}
 
@@ -59,8 +67,6 @@ def run_haplotype_caller(argv):
                    help="interval-sharded data-parallel run: N shard "
                         "processes with coordinate-ordered output merge")
     a = p.parse_args(argv)
-
-    import os
 
     from rovaca_tpu import constants as C
     from rovaca_tpu.pipeline.caller import HaplotypeCaller, HCArgs

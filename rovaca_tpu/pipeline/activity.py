@@ -138,8 +138,8 @@ class ActivityWindow:
 
 def accumulate_read(win, read, ref):
     """Classify each base of `read` into the window histograms
-    (process_bam_to_slot, HcActiveBase.cpp:96-188). `ref` is the full contig
-    sequence as bytes."""
+    (process_bam_to_slot, HcActiveBase.cpp:96-188), vectorized per cigar
+    block. `ref` is the full contig sequence (bytes or RefWindow)."""
     bound = adaptor_boundary(read)
     hq_soft = None  # computed lazily
     pos = read.pos
@@ -147,6 +147,8 @@ def accumulate_read(win, read, ref):
     L = win.end - win.start
     elems = read.cigar.elements
     n_elems = len(elems)
+    quals = read.quals
+    rbases = np.frombuffer(read.bases, dtype=np.uint8)
     for ci, (op, length) in enumerate(elems):
         consumes_ref = op in (CigarOp.M, CigarOp.D, CigarOp.N, CigarOp.EQ,
                               CigarOp.X)
@@ -155,41 +157,45 @@ def accumulate_read(win, read, ref):
         if consumes_ref:
             prev_op = elems[ci - 1][0] if ci > 0 else None
             next_op = elems[ci + 1][0] if ci < n_elems - 1 else None
+            offs = np.arange(pos - win.start, pos - win.start + length)
+            in_win = (offs >= 0) & (offs < L)
+            if bound is not None and read.tlen <= 100:
+                p1 = offs + win.start + 1  # 1-based positions
+                if read.is_reverse:
+                    in_win &= p1 > bound
+                else:
+                    in_win &= p1 < bound
             if op == CigarOp.D:
-                for k in range(length):
-                    p = pos + k
-                    off = p - win.start
-                    if not (0 <= off < L):
-                        continue
-                    if _base_inside_adaptor(read, p + 1, bound):
-                        continue
-                    win.hist[0, off, REF_MODEL_DELETION_QUAL] += 1
+                np.add.at(win.hist[0, :, REF_MODEL_DELETION_QUAL],
+                          offs[in_win], 1)
             else:
-                for k in range(length):
-                    p = pos + k
-                    off = p - win.start
-                    if not (0 <= off < L):
+                bq = np.minimum(quals[qpos:qpos + length].astype(np.int64),
+                                MAX_QUAL_BIN - 1)
+                refslice = np.frombuffer(
+                    ref[pos:pos + length], dtype=np.uint8)
+                variant = rbases[qpos:qpos + length] != refslice
+                # edge rules exactly as HcActiveBase.cpp:158-186
+                hq_first = prev_op == CigarOp.S
+                hq_last = length > 1 and next_op == CigarOp.S
+                if hq_first or prev_op in (CigarOp.I, CigarOp.D) or (
+                        length == 1 and next_op in (CigarOp.I, CigarOp.D)):
+                    variant[0] = True
+                if length > 1 and (hq_last
+                                   or next_op in (CigarOp.I, CigarOp.D)):
+                    variant[-1] = True
+                np.add.at(win.hist[0], (offs[in_win & variant],
+                                        bq[in_win & variant]), 1)
+                np.add.at(win.hist[1], (offs[in_win & ~variant],
+                                        bq[in_win & ~variant]), 1)
+                # high-quality soft-clip stats at clip-adjacent edges
+                for edge_idx, active in ((0, hq_first), (length - 1, hq_last)):
+                    if not active or not in_win[edge_idx]:
                         continue
-                    if _base_inside_adaptor(read, p + 1, bound):
-                        continue
-                    bq = min(int(read.quals[qpos + k]), MAX_QUAL_BIN - 1)
-                    base = read.bases[qpos + k]
-                    is_snp = base != ref[p]
-                    first, last = k == 0, k == length - 1
-                    if (first and prev_op == CigarOp.S) or (
-                            last and next_op == CigarOp.S):
-                        if int(read.quals[qpos + k]) > MIN_BASE_QUAL:
-                            if hq_soft is None:
-                                hq_soft = high_quality_soft_clips(read)
-                            win.hq_sum[off] += hq_soft
-                            win.hq_n[off] += 1
-                        win.hist[0, off, bq] += 1
-                    elif (is_snp
-                          or (first and prev_op in (CigarOp.I, CigarOp.D))
-                          or (last and next_op in (CigarOp.I, CigarOp.D))):
-                        win.hist[0, off, bq] += 1
-                    else:
-                        win.hist[1, off, bq] += 1
+                    if int(quals[qpos + edge_idx]) > MIN_BASE_QUAL:
+                        if hq_soft is None:
+                            hq_soft = high_quality_soft_clips(read)
+                        win.hq_sum[offs[edge_idx]] += hq_soft
+                        win.hq_n[offs[edge_idx]] += 1
         if consumes_ref:
             pos += length
         if consumes_query:

@@ -8,6 +8,7 @@ cut regions; call each region; emit coordinate-ordered records.
 """
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -47,6 +48,20 @@ class HCArgs:
     log_level: str = "INFO"
 
 
+def _enable_persistent_compilation_cache():
+    """Kernel compiles dominate cold TPU runs (20-60s each through remote
+    tunnels); the persistent cache makes every later run warm."""
+    import jax
+    cache_dir = os.environ.get("ROVACA_JAX_CACHE",
+                               os.path.expanduser("~/.cache/rovaca_jax"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def parse_span(span):
     contig, _, rng = span.partition(":")
     if not rng:
@@ -76,6 +91,7 @@ class HaplotypeCaller:
 
     def run(self):
         args = self.args
+        _enable_persistent_compilation_cache()
         from ..utils import logging as rlog
         log = rlog.init(args.log_level)
         rlog.banner({k: v for k, v in dataclasses.asdict(args).items()

@@ -287,3 +287,59 @@ class TestDanglingRecovery:
         alt_mark = bytes(alt[80:92])
         assert any(alt_mark in h.bases for h in haps), \
             "edge SNP haplotype missing"
+
+
+class TestSeqGraphSimplify:
+    def _sg(self):
+        from rovaca_tpu.assembly.graph import SeqGraph
+        return SeqGraph()
+
+    def test_common_suffix_split(self):
+        sg = self._sg()
+        top = sg.add_vertex(b"AAA")
+        m1 = sg.add_vertex(b"CTTT")
+        m2 = sg.add_vertex(b"GTTT")
+        bot = sg.add_vertex(b"GG")
+        sg.add_edge(top, m1, 3)
+        sg.add_edge(top, m2, 2)
+        sg.add_edge(m1, bot, 3)
+        sg.add_edge(m2, bot, 2)
+        sg.ref_source, sg.ref_sink = top, bot
+        assert sg.split_common_suffixes()
+        # suffix TTT hoisted: middles reduced to C / G
+        seqs = sorted(v.seq for v in sg.vertices)
+        assert b"TTT" in seqs
+        assert b"C" in seqs and b"G" in seqs
+        # paths preserved
+        from rovaca_tpu.assembly.graph import find_k_best_haplotypes
+        haps = {p[0] for p in find_k_best_haplotypes(sg)}
+        assert haps == {b"AAACTTTGG", b"AAAGTTTGG"}
+
+    def test_merge_identical_incoming(self):
+        sg = self._sg()
+        top = sg.add_vertex(b"AA")
+        m1 = sg.add_vertex(b"CC")
+        m2 = sg.add_vertex(b"CC")
+        bot = sg.add_vertex(b"TT")
+        sg.add_edge(top, m1, 1)
+        sg.add_edge(top, m2, 4)
+        sg.add_edge(m1, bot, 1)
+        sg.add_edge(m2, bot, 4)
+        sg.ref_source, sg.ref_sink = top, bot
+        assert sg.merge_identical_incoming()
+        assert len(sg.vertices) == 3
+        from rovaca_tpu.assembly.graph import find_k_best_haplotypes
+        haps = {p[0] for p in find_k_best_haplotypes(sg)}
+        assert haps == {b"AACCTT"}
+
+    def test_simplify_preserves_haplotypes(self):
+        rng = np.random.default_rng(41)
+        ref = rng_seq(rng, 100)
+        alt = ref[:50] + ("A" if ref[50] != "A" else "T") + ref[51:]
+        reads = ([make_read(1000 + i, ref[i:i + 40], quals=[35] * 40,
+                            name=f"r{i}") for i in range(0, 60, 7)]
+                 + [make_read(1000 + i, alt[i:i + 40], quals=[35] * 40,
+                              name=f"a{i}") for i in range(0, 60, 7)])
+        haps = assembler.assemble_region(reads, ref, 1000)
+        seqs = {h.bases for h in haps}
+        assert ref.encode() in seqs and alt.encode() in seqs

@@ -117,3 +117,52 @@ class TestEndToEndGvcf:
         # coverage: blocks + variants should tile the read span contiguously
         positions = [r["pos"] for r in records]
         assert positions == sorted(positions)
+
+
+class TestMultiContig:
+    def test_two_contigs(self, tmp_path):
+        import numpy as np
+        from rovaca_tpu.io.bam import BamHeader, BamWriter
+        from rovaca_tpu.io.fasta import write_fasta
+        from rovaca_tpu.reads.record import ReadRecord
+
+        rng = np.random.default_rng(31)
+        refs = {c: simdata.random_ref(rng, 1200) for c in ("chrA", "chrB")}
+        truth = {}
+        reads = []
+        for ci, (contig, ref) in enumerate(refs.items()):
+            pos = 600
+            alt = "ACGT"[("ACGT".index(ref[pos]) + 1) % 4]
+            truth[contig] = (pos, ref[pos], alt)
+            hap = ref[:pos] + alt + ref[pos + 1:]
+            for i in range(12):
+                s = int(rng.integers(480, 560))
+                for src, tag in ((ref, "r"), (hap, "a")):
+                    frag = src[s:s + 100]
+                    reads.append(ReadRecord(
+                        name=f"{contig}_{tag}{i}", flag=0, ref_id=ci, pos=s,
+                        mapping_quality=60, cigar=f"{len(frag)}M",
+                        bases=frag, quals=[35] * len(frag), contig=contig))
+        fasta = str(tmp_path / "ref.fa")
+        bam = str(tmp_path / "two.bam")
+        write_fasta(fasta, refs)
+        header = BamHeader(
+            "@HD\tVN:1.6\tSO:coordinate\n"
+            + "".join(f"@SQ\tSN:{c}\tLN:1200\n" for c in refs)
+            + "@RG\tID:rg1\tSM:S1\n", list(refs), [1200, 1200])
+        reads.sort(key=lambda r: (r.ref_id, r.pos))
+        with BamWriter(bam, header) as w:
+            for r in reads:
+                w.write(r)
+        out = str(tmp_path / "out.vcf")
+        rc = cli_main(["HaplotypeCaller", "-i", bam, "-r", fasta, "-o", out,
+                       "--pairhmm-engine", "xla"])
+        assert rc == 0
+        records = parse_vcf(out)
+        by_contig = {}
+        for r in records:
+            by_contig.setdefault(r["contig"], []).append(r)
+        assert set(by_contig) == {"chrA", "chrB"}
+        for contig, (pos, ref_b, alt_b) in truth.items():
+            assert any(r["pos"] == pos + 1 and r["alt"] == [alt_b]
+                       for r in by_contig[contig]), contig
