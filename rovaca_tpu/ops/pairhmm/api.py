@@ -53,16 +53,50 @@ def log10_with_rescue(raw_matrix, reads, haps, pcr_model="CONSERVATIVE",
     out[ok] = (logf[ok] - np.float32(C.LOG10_INITIAL_CONSTANT_F32)).astype(np.float64)
 
     hap_bytes = [h.encode() if isinstance(h, str) else bytes(h) for h in haps]
-    for h_idx, r_idx in zip(*np.nonzero(~ok)):
-        read = reads[r_idx]
-        rd = golden.compute_full_prob(
-            read.bases, read.quals, read.mapping_quality, hap_bytes[h_idx],
-            ins_gops=getattr(read, "ins_quals", None),
-            gcp=getattr(read, "gcp", None),
-            dtype=np.float64, pcr_model=pcr_model,
-            min_quality_threshold=min_quality_threshold)
+    rescued = list(zip(*np.nonzero(~ok)))
+    if len(rescued) >= 8:
+        raws = _rescue_batch_f64(rescued, reads, hap_bytes, pcr_model,
+                                 min_quality_threshold)
+    else:
+        raws = None
+    for k, (h_idx, r_idx) in enumerate(rescued):
+        if raws is not None:
+            rd = raws[k]
+        else:
+            read = reads[r_idx]
+            rd = golden.compute_full_prob(
+                read.bases, read.quals, read.mapping_quality,
+                hap_bytes[h_idx],
+                ins_gops=getattr(read, "ins_quals", None),
+                gcp=getattr(read, "gcp", None),
+                dtype=np.float64, pcr_model=pcr_model,
+                min_quality_threshold=min_quality_threshold)
         out[h_idx, r_idx] = np.log10(rd) - C.LOG10_INITIAL_CONSTANT_F64
     return out
+
+
+def _rescue_batch_f64(rescued, reads, hap_bytes, pcr_model,
+                      min_quality_threshold):
+    """Vectorized float64 rescue on the CPU backend: score each rescued
+    (read, hap) pair via the XLA scan path under enable_x64. Returns raw
+    probabilities aligned with `rescued`."""
+    import jax
+
+    from .xla import pairhmm_xla
+
+    pair_reads = [reads[r] for _, r in rescued]
+    pair_haps = [hap_bytes[h] for h, _ in rescued]
+    batch = prep.build_pair_batch(pair_reads, pair_haps,
+                                  pcr_model=pcr_model,
+                                  min_quality_threshold=min_quality_threshold,
+                                  dtype=np.float64)
+    cpu = jax.devices("cpu")[0]
+    with jax.enable_x64(True), jax.default_device(cpu):
+        raw = np.asarray(pairhmm_xla(
+            batch.trans, batch.rbase, batch.rlen, batch.hbase, batch.hlen))
+    full = batch.result_matrix(raw)      # (n_pairs_hap, n_pairs_read)
+    return np.array([full[k, k] for k in range(len(rescued))],
+                    dtype=np.float64)
 
 
 def normalize_likelihoods(lik_by_read):

@@ -215,7 +215,8 @@ def _round_up(x, m):
 def build_pair_batch(reads, haps, pcr_model="CONSERVATIVE",
                      min_quality_threshold=C.MIN_QUALITY_THRESHOLD,
                      len_buckets=(64, 128, 192, 256, 384, 512),
-                     hap_len_buckets=(128, 256, 384, 512, 768, 1024)):
+                     hap_len_buckets=(128, 256, 384, 512, 768, 1024),
+                     dtype=np.float32):
     """Build a PairBatch from reads and haplotypes.
 
     `reads`: sequence of objects with .bases (bytes/str), .quals (uint8 array),
@@ -234,7 +235,7 @@ def build_pair_batch(reads, haps, pcr_model="CONSERVATIVE",
     GR = _round_up(n_reads, READ_TILE) // READ_TILE
     GH = _round_up(n_haps, HAP_TILE) // HAP_TILE
 
-    trans = np.zeros((GR, Lr, 8, READ_TILE), dtype=np.float32)
+    trans = np.zeros((GR, Lr, 8, READ_TILE), dtype=dtype)
     rbase = np.zeros((GR, Lr, READ_TILE), dtype=np.int32)
     rlen = np.zeros((GR, 1, READ_TILE), dtype=np.int32)
     hbase = np.zeros((GH, Lh, HAP_TILE, READ_TILE), dtype=np.int32)
@@ -247,7 +248,7 @@ def build_pair_batch(reads, haps, pcr_model="CONSERVATIVE",
             ins_gops=getattr(read, "ins_quals", None),
             gcp=getattr(read, "gcp", None),
             pcr_model=pcr_model,
-            min_quality_threshold=min_quality_threshold)
+            min_quality_threshold=min_quality_threshold, dtype=dtype)
         L = codes.shape[0]
         trans[g, :L, :, lane] = ch.T
         rbase[g, :L, lane] = codes

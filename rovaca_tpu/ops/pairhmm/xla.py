@@ -28,14 +28,18 @@ def _affine_compose(left, right):
 def _forward_one(trans, rbase, rlen, hbase, hlen):
     """One (hap-tile x read-tile) group.
 
-    trans: (Lr, 8, 128) f32; rbase: (Lr, 128) i32; rlen: (1, 128) i32;
-    hbase: (Lh, 8, 128) i32; hlen: (8, 1) i32. Returns (8, 128) f32 raw sums.
+    trans: (Lr, 8, 128) float; rbase: (Lr, 128) i32; rlen: (1, 128) i32;
+    hbase: (Lh, 8, 128) i32; hlen: (8, 1) i32. Returns (8, 128) raw sums in
+    trans' dtype (float32, or float64 under enable_x64 for rescue).
     """
     Lr = trans.shape[0]
     Lh = hbase.shape[0]
-    f32 = jnp.float32
+    f32 = trans.dtype.type
+    initial_constant = (C.INITIAL_CONSTANT_F64
+                        if trans.dtype == jnp.float64
+                        else C.INITIAL_CONSTANT_F32)
 
-    init_d = f32(C.INITIAL_CONSTANT_F32) / jnp.maximum(hlen, 1).astype(f32)
+    init_d = f32(initial_constant) / jnp.maximum(hlen, 1).astype(f32)
     init_d = jnp.broadcast_to(init_d, (8, 128))
 
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (Lh, 8, 1), 0)
