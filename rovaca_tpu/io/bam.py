@@ -16,11 +16,22 @@ from ..reads.cigar import Cigar, CigarOp
 from ..reads.record import ReadRecord
 from . import bgzf
 
+_CIGAR_OPS = [CigarOp(i) for i in range(9)]
+
 SEQ_NT16 = "=ACMGRSVTWYHKDBN"
 _NT16_CODE = {c: i for i, c in enumerate(SEQ_NT16)}
 _NT16_CODE.update({"a": 1, "c": 2, "g": 4, "t": 8, "n": 15})
 
-_DECODE_PAIR = [SEQ_NT16[b >> 4] + SEQ_NT16[b & 0xF] for b in range(256)]
+_NT16_BYTES = np.frombuffer(SEQ_NT16.encode(), dtype=np.uint8)
+
+
+def _decode_seq(packed, l_seq):
+    """4-bit packed BAM bases -> ASCII bytes, vectorized."""
+    arr = np.frombuffer(packed, dtype=np.uint8)
+    out = np.empty(arr.size * 2, dtype=np.uint8)
+    out[0::2] = _NT16_BYTES[arr >> 4]
+    out[1::2] = _NT16_BYTES[arr & 0xF]
+    return out[:l_seq].tobytes()
 
 
 class BamHeader:
@@ -52,6 +63,52 @@ class BamHeader:
         return out
 
 
+CHUNK_BYTES = 4 << 20
+
+
+class LazyTags(dict):
+    """Tag dict parsed from the record payload on first access."""
+
+    __slots__ = ("_raw",)
+
+    def __init__(self, raw):
+        super().__init__()
+        self._raw = raw
+
+    def _force(self):
+        if self._raw is not None:
+            super().update(_parse_tags(self._raw, 0))
+            self._raw = None
+
+    def __getitem__(self, k):
+        self._force()
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        self._force()
+        return super().get(k, default)
+
+    def setdefault(self, k, default=None):
+        self._force()
+        return super().setdefault(k, default)
+
+    def __contains__(self, k):
+        self._force()
+        return super().__contains__(k)
+
+    def __iter__(self):
+        self._force()
+        return super().__iter__()
+
+    def items(self):
+        self._force()
+        return super().items()
+
+    def __len__(self):
+        self._force()
+        return super().__len__()
+
+
 class BamReader:
     def __init__(self, path):
         self.path = path
@@ -68,17 +125,84 @@ class BamReader:
             names.append(self._fh.read(l_name)[:-1].decode())
             lengths.append(struct.unpack("<i", self._fh.read(4))[0])
         self.header = BamHeader(text, names, lengths)
+        self._residual = b""
+        self._queue = []
+        self._qi = 0
+        self._eof = False
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        size_raw = self._fh.read(4)
-        if len(size_raw) < 4:
-            raise StopIteration
-        (block_size,) = struct.unpack("<i", size_raw)
-        data = self._fh.read(block_size)
-        return self._parse(data)
+        while self._qi >= len(self._queue):
+            if self._eof:
+                raise StopIteration
+            self._refill()
+        rec = self._queue[self._qi]
+        self._qi += 1
+        return rec
+
+    def _refill(self):
+        chunk = self._fh.read(CHUNK_BYTES)
+        if not chunk:
+            self._eof = True
+            if self._residual:
+                raise ValueError(f"{self.path}: truncated BAM record")
+            return
+        buf = self._residual + chunk
+        self._queue = []
+        self._qi = 0
+        from ..native import bamscan_native
+        if bamscan_native.available():
+            fields, consumed = bamscan_native.scan(buf)
+            mv = memoryview(buf)
+            for k in range(fields["rec_off"].shape[0]):
+                self._queue.append(self._parse_scanned(
+                    mv, int(fields["rec_off"][k]),
+                    int(fields["tid"][k]), int(fields["pos"][k]),
+                    int(fields["mapq"][k]), int(fields["flag"][k]),
+                    int(fields["n_cigar"][k]), int(fields["l_seq"][k]),
+                    int(fields["l_read_name"][k]),
+                    int(fields["next_tid"][k]), int(fields["next_pos"][k]),
+                    int(fields["tlen"][k])))
+            self._residual = buf[consumed:]
+        else:
+            off = 0
+            while off + 4 <= len(buf):
+                (block_size,) = struct.unpack_from("<i", buf, off)
+                if off + 4 + block_size > len(buf):
+                    break
+                self._queue.append(self._parse(buf[off + 4:
+                                                   off + 4 + block_size]))
+                off += 4 + block_size
+            self._residual = buf[off:]
+
+    def _parse_scanned(self, mv, off, ref_id, pos, mapq, flag, n_cigar,
+                       l_seq, l_read_name, next_ref, next_pos, tlen):
+        body = mv[off:]
+        p = 32
+        name = bytes(body[p:p + l_read_name - 1]).decode()
+        p += l_read_name
+        cigar_raw = np.frombuffer(body, dtype="<u4", count=n_cigar, offset=p)
+        p += 4 * n_cigar
+        cigar = Cigar.from_raw(
+            [(_CIGAR_OPS[c & 0xF], int(c) >> 4) for c in cigar_raw.tolist()])
+        n_seq_bytes = (l_seq + 1) // 2
+        bases = _decode_seq(bytes(body[p:p + n_seq_bytes]), l_seq)
+        p += n_seq_bytes
+        quals = np.frombuffer(body, dtype=np.uint8, count=l_seq,
+                              offset=p).copy()
+        p += l_seq
+        # remaining payload = tags; copy so the chunk buffer can be freed
+        rec_len = struct.unpack_from("<i", mv, off - 4)[0]
+        tags = LazyTags(bytes(body[p:rec_len]))
+        contig = (self.header.ref_names[ref_id]
+                  if 0 <= ref_id < len(self.header.ref_names) else None)
+        return ReadRecord(name=name, flag=flag, ref_id=ref_id, pos=pos,
+                          mapping_quality=mapq, cigar=cigar, bases=bases,
+                          quals=quals, mate_ref_id=next_ref,
+                          mate_pos=next_pos, tlen=tlen, tags=tags,
+                          contig=contig)
 
     def _parse(self, data):
         (ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
@@ -92,7 +216,7 @@ class BamReader:
         n_seq_bytes = (l_seq + 1) // 2
         seq_packed = data[off:off + n_seq_bytes]
         off += n_seq_bytes
-        bases = "".join(_DECODE_PAIR[b] for b in seq_packed)[:l_seq]
+        bases = _decode_seq(seq_packed, l_seq)
         quals = np.frombuffer(data, dtype=np.uint8, count=l_seq,
                               offset=off).copy()
         off += l_seq

@@ -44,6 +44,13 @@ class Cigar:
         self.elements = tuple((CigarOp(op), int(n)) for op, n in elements)
 
     @classmethod
+    def from_raw(cls, elements):
+        """Trusted (CigarOp, int) tuples — skips validation/conversion."""
+        c = cls.__new__(cls)
+        c.elements = tuple(elements)
+        return c
+
+    @classmethod
     def from_string(cls, s):
         if s == "*" or not s:
             return cls()

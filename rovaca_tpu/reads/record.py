@@ -44,7 +44,7 @@ class ReadRecord:
         self.mate_ref_id = mate_ref_id
         self.mate_pos = mate_pos
         self.tlen = tlen
-        self.tags = tags or {}
+        self.tags = tags if tags is not None else {}
         self.contig = contig
 
     # --- flags ---
@@ -163,7 +163,9 @@ class ReadRecord:
                   pos=self.pos, mapping_quality=self.mapping_quality,
                   cigar=self.cigar, bases=self.bases, quals=self.quals.copy(),
                   mate_ref_id=self.mate_ref_id, mate_pos=self.mate_pos,
-                  tlen=self.tlen, tags=dict(self.tags), contig=self.contig)
+                  # .items() honors lazy tag parsing (io.bam.LazyTags)
+                  tlen=self.tlen, tags=dict(self.tags.items()),
+                  contig=self.contig)
         kw.update(overrides)
         return ReadRecord(**kw)
 
