@@ -44,6 +44,8 @@ def run_haplotype_caller(argv):
     p.add_argument("-e", "--erc", "--emit-ref-confidence", dest="erc",
                    default="NONE", choices=["NONE", "GVCF"])
     p.add_argument("--max-reads-depth", type=int, default=50)
+    p.add_argument("--base-quality-score-threshold", type=int, default=18)
+    p.add_argument("--max-mnp-distance", type=int, default=0)
     p.add_argument("--pcr-indel-model", default="CONSERVATIVE",
                    choices=["NONE", "HOSTILE", "AGGRESSIVE", "CONSERVATIVE"])
     p.add_argument("-d", "--dbsnp", default=None)
@@ -103,6 +105,8 @@ def run_haplotype_caller(argv):
                   interval_padding=a.interval_padding,
                   gvcf_mode=(a.erc == "GVCF"), gq_bands=bands,
                   max_reads_depth=a.max_reads_depth,
+                  base_quality_threshold=a.base_quality_score_threshold,
+                  max_mnp_distance=a.max_mnp_distance,
                   pcr_indel_model=a.pcr_indel_model,
                   dbsnp_path=a.dbsnp, recal_table=a.bqsr_recal_table,
                   sample_name=a.sample_name,

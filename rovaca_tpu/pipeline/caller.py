@@ -41,6 +41,8 @@ class HCArgs:
     recal_table: str = None
     sample_name: str = None
     pairhmm_engine: str = "auto"
+    base_quality_threshold: int = C.DEFAULT_BASE_QUALITY_THRESHOLD
+    max_mnp_distance: int = C.MAX_MNP_DISTANCE
     target_span: str = None    # "chr20:1000000-2000000" restriction
     host_workers: int = 1
     assemble_output_path: str = None
@@ -107,7 +109,9 @@ class HaplotypeCaller:
                               pcr_indel_model=args.pcr_indel_model,
                               sample_name=sample,
                               pairhmm_engine=args.pairhmm_engine,
-                              assemble_output_path=args.assemble_output_path)
+                              assemble_output_path=args.assemble_output_path,
+                              min_quality_threshold=args.base_quality_threshold,
+                              max_mnp_distance=args.max_mnp_distance)
         caller = RegionCaller(config, self.fasta.contig_dict)
         from ..parallel.host_executor import HostExecutor
         self.executor = HostExecutor(args.host_workers, config,
@@ -194,9 +198,8 @@ class HaplotypeCaller:
             yield current, self._downsample(bucket)
         self.stats["filtered"] = filt.filtered_count
 
-    @staticmethod
-    def _downsample(reads):
-        ds = PositionalDownsampler()
+    def _downsample(self, reads):
+        ds = PositionalDownsampler(target=self.args.max_reads_depth)
         return list(ds(iter(reads)))
 
     # ------------------------------------------------------------------
@@ -237,7 +240,9 @@ class HaplotypeCaller:
             # device pass, then genotype (pipeline/scheduler.py)
             from ..utils.refwindow import RefWindow
             from .scheduler import PairHMMScheduler
-            sched = PairHMMScheduler(engine=args.pairhmm_engine)
+            sched = PairHMMScheduler(
+                engine=args.pairhmm_engine,
+                min_quality_threshold=args.base_quality_threshold)
             prepared = {}
             ready_calls = {}
             ordered = []

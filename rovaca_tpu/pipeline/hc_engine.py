@@ -2,12 +2,9 @@
 
 Counterpart of the reference's HaplotypeCallerEngine::call_region (reference:
 src/haplotypecaller/haplotypecaller_engine.cpp:107-309): finalize reads,
-assemble, trim to the variant span, filter, PairHMM, genotype, and (GVCF)
-reference-confidence for non-variant flanks.
-
-Deviation (documented): reads are not re-aligned to their best haplotype
-before annotation (assembly_based_caller_utils.cpp:146) — annotations use the
-original alignments; scheduled for a later round.
+assemble, trim to the variant span, filter, PairHMM, realign reads to their
+best haplotype, genotype, and (GVCF) reference-confidence for non-variant
+flanks.
 """
 
 import dataclasses
@@ -47,6 +44,7 @@ class CallerConfig:
     region_padding: int = C.REGION_PADDING
     reference_padding: int = C.REFERENCE_PADDING
     assemble_output_path: str = None
+    min_quality_threshold: int = C.MIN_QUALITY_THRESHOLD
 
 
 class RegionCaller:
@@ -66,6 +64,7 @@ class RegionCaller:
         lik_matrix, kept = pairhmm.compute_likelihoods(
             prepared.call_reads, [h.bases for h in prepared.haps],
             pcr_model=self.config.pcr_indel_model,
+            min_quality_threshold=self.config.min_quality_threshold,
             engine=self.config.pairhmm_engine)
         return self.finish_region(prepared, lik_matrix, kept)
 
