@@ -58,7 +58,8 @@ def main():
     else:
         from rovaca_tpu.ops.pairhmm.xla import pairhmm_xla as fn
 
-    # realistic region batch: reads ~120-151bp, haps ~300-380bp
+    # window-scale batch (the scheduler always batches whole windows):
+    # 2048 reads x 64 haps, reads ~120-151bp, haps ~300-380bp
     rng = np.random.default_rng(1)
 
     class _R:
@@ -69,16 +70,16 @@ def main():
 
     variants = []
     effective_cells = 0
-    for seed in range(4):
+    for seed in range(2):
         r2 = np.random.default_rng(seed)
         reads = []
-        for _ in range(4 * 128):
+        for _ in range(16 * 128):
             L = int(r2.integers(120, 152))
             reads.append(_R("".join(r2.choice(list("ACGT"), size=L)),
                             r2.integers(10, 40, size=L)))
         haps = ["".join(r2.choice(list("ACGT"),
                                   size=int(r2.integers(300, 380))))
-                for _ in range(4 * 8)]
+                for _ in range(8 * 8)]
         batch = prep.build_pair_batch(reads, haps)
         effective_cells += sum(len(r.bases) * len(h)
                                for r in reads for h in haps)

@@ -71,7 +71,10 @@ def _pairhmm_kernel(trans_ref, rbase_ref, rlen_ref, hbase_ref, hlen_ref,
         def block_body(ib, _):
             i0 = ib * R
             t = trans_ref[0, pl.ds(i0, R)]               # (R, 8, 128)
-            ch = [[t[r, k:k + 1, :] for k in range(8)] for r in range(R)]
+            # materialize sublane-broadcast channels once per row block so
+            # the inner loop reads full (8,128) registers, not (1,128) views
+            ch = [[jnp.broadcast_to(t[r, k:k + 1, :], (8, 128))
+                   for k in range(8)] for r in range(R)]
             rb = rbase_ref[0, pl.ds(i0, R), :]           # (R, 128)
             rr = [jnp.broadcast_to(rb[r:r + 1, :], (8, 128))
                   for r in range(R)]
