@@ -47,6 +47,33 @@ FORMAT_HEADERS = [
 INFO_ORDER = [name for name, *_ in INFO_HEADERS]
 
 
+class _BgzfRaw:
+    """Minimal io.RawIOBase-ish adapter over bgzf.Writer for TextIOWrapper."""
+
+    def __init__(self, writer):
+        self._w = writer
+
+    def writable(self):
+        return True
+
+    def write(self, data):
+        self._w.write(bytes(data))
+        return len(data)
+
+    def flush(self):
+        pass
+
+    def close(self):
+        self._w.close()
+
+    closed = False
+    def readable(self):
+        return False
+
+    def seekable(self):
+        return False
+
+
 def _fmt(value):
     if isinstance(value, float):
         value += 0.0  # normalize -0.0
@@ -62,8 +89,15 @@ class VcfWriter:
     def __init__(self, path, contig_dict, sample="SAMPLE", gvcf=False,
                  gq_bands=None, command_line=None, append=False):
         self.gvcf = gvcf
-        opener = gzip.open if path.endswith(".gz") else open
-        self._fh = opener(path, "at" if append else "wt")
+        if path.endswith(".gz") and not append:
+            # BGZF (not plain gzip) so tabix/htslib tooling can index it
+            import io as _io
+
+            from . import bgzf
+            self._fh = _io.TextIOWrapper(_BgzfRaw(bgzf.Writer(path)))
+        else:
+            opener = gzip.open if path.endswith(".gz") else open
+            self._fh = opener(path, "at" if append else "wt")
         self.sample = sample
         if not append:
             self._write_header(contig_dict, gq_bands or [], command_line)

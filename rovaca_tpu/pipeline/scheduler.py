@@ -95,6 +95,9 @@ class PairHMMScheduler:
             groups.setdefault((b.max_read_len, b.max_hap_len),
                               []).append(job)
 
+        # dispatch every bucket before fetching any result: device work and
+        # transfer latency overlap across buckets
+        pending = []
         for (lr, lh), jobs in groups.items():
             trans, rbase, rlen, hbase, hlen = [], [], [], [], []
             pairs = []        # (job, h_tile_global, r_tile_global)
@@ -121,12 +124,15 @@ class PairHMMScheduler:
                 hidx[i] = hh
                 ridx[i] = rr
 
-            raw = np.asarray(pairhmm_pallas_indexed(
+            device_out = pairhmm_pallas_indexed(
                 jnp.asarray(np.stack(trans)), jnp.asarray(np.stack(rbase)),
                 jnp.asarray(np.stack(rlen)), jnp.asarray(np.stack(hbase)),
                 jnp.asarray(np.stack(hlen)), jnp.asarray(hidx),
-                jnp.asarray(ridx)))
+                jnp.asarray(ridx))
+            pending.append((jobs, pairs, device_out))
 
+        for jobs, pairs, device_out in pending:
+            raw = np.asarray(device_out)
             # scatter per-job results back into (GH, GR, 8, 128) layouts
             per_job = {}
             for i, (job, hh, rr) in enumerate(pairs):
