@@ -9,8 +9,8 @@ FORMAT: AD, DP (informative reads), SB (gvcf).
 
 Deviation (documented): rank-sum z-values use the normal approximation with
 tie correction for all sample sizes, where the reference (mann_whitney_u.cpp)
-uses the exact Mann-Whitney distribution for small groups; and QD's
-GATK-random jitter above 35 is replaced by a deterministic cap.
+uses the exact Mann-Whitney distribution for small groups. (QD matches the
+reference, which itself dropped GATK's random jitter for determinism.)
 """
 
 import math
@@ -102,16 +102,23 @@ def coverage(likelihoods):
 
 
 def qual_by_depth(variant, likelihoods):
-    """QD: QUAL / informative depth (QualByDepth). Capped at 35
-    (the reference adds random jitter above; we cap deterministically)."""
+    """QD: QUAL / depth over het/hom-var genotypes, AD-restricted when any
+    genotype shows real alt depth, capped at 35 — matching the reference,
+    which also dropped GATK's random jitter (qual_by_depth.cpp:15-80)."""
     depth = 0
+    ad_restricted = 0
     for g in variant.genotypes:
         if not g.is_called or g.is_hom_ref():
             continue
-        if g.ad is not None:
-            depth += sum(g.ad)
-        else:
-            depth += depth_per_sample(likelihoods)
+        if g.ad is not None and sum(g.ad) != 0:
+            total = sum(g.ad)
+            if total - g.ad[0] > 1:
+                ad_restricted += total
+            depth += total
+            continue
+        depth += likelihoods.n_reads
+    if ad_restricted > 0:
+        depth = ad_restricted
     if depth == 0:
         return None
     qd = variant.qual / depth
