@@ -1,0 +1,51 @@
+"""Sharding: interval math, merge, mesh step (virtual devices)."""
+
+import numpy as np
+
+from rovaca_tpu.parallel.sharded_runner import merge_shard_vcfs
+from rovaca_tpu.parallel.sharding import make_data_mesh, shard_intervals
+
+
+class TestShardIntervals:
+    def test_balanced_split(self):
+        shards = shard_intervals([("chr1", 0, 1000)], 4, boundary_pad=50)
+        assert len(shards) == 4
+        cores = [(s[0][3], s[0][4]) for s in shards]
+        assert cores[0] == (0, 250)
+        assert cores[-1][1] == 1000
+        # contiguous cores
+        for a, b in zip(cores, cores[1:]):
+            assert a[1] == b[0]
+        # padding present on interior boundaries
+        assert shards[1][0][1] == 250 - 50
+
+    def test_multi_contig(self):
+        shards = shard_intervals([("chr1", 0, 600), ("chr2", 0, 600)], 3)
+        total = sum(c[4] - c[3] for s in shards for c in s)
+        assert total == 1200
+
+    def test_more_shards_than_bases(self):
+        shards = shard_intervals([("c", 0, 3)], 8)
+        total = sum(c[4] - c[3] for s in shards for c in s)
+        assert total == 3
+
+
+class TestMerge:
+    def test_merge_headers_once(self, tmp_path):
+        f1 = tmp_path / "a.vcf"
+        f2 = tmp_path / "b.vcf"
+        f1.write_text("##h\n#CHROM\nchr1\t5\tx\n")
+        f2.write_text("##h\n#CHROM\nchr1\t10\ty\n")
+        out = tmp_path / "m.vcf"
+        counts = merge_shard_vcfs([str(f1), str(f2)], str(out))
+        lines = out.read_text().splitlines()
+        assert counts == [1, 1]
+        assert lines.count("##h") == 1
+        assert lines[-2:] == ["chr1\t5\tx", "chr1\t10\ty"]
+
+
+class TestMesh:
+    def test_mesh_over_virtual_devices(self):
+        import jax
+        mesh = make_data_mesh()
+        assert mesh.devices.size == len(jax.devices())
