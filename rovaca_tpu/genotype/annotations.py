@@ -7,9 +7,10 @@ ChromosomeCounts (AC/AF/AN), DP, ExcessHet, FS, MQRankSum, QD, MQ,
 ReadPosRankSum, SOR; GVCF-mode swaps FS/QD/SOR/AC out and emits RAW_MQandDP.
 FORMAT: AD, DP (informative reads), SB (gvcf).
 
-Deviation (documented): rank-sum z-values use the normal approximation with
-tie correction for all sample sizes, where the reference (mann_whitney_u.cpp)
-uses the exact Mann-Whitney distribution for small groups. (QD matches the
+Rank-sum z-values follow the reference's MannWhitneyU exactly
+(mann_whitney_u.cpp:44-78): normal approximation with tie + continuity
+correction when either group has >= 10 values, exact permutation test with
+a mid-p rule and z = Phi^-1(p) when both are smaller. (QD matches the
 reference, which itself dropped GATK's random jitter for determinism.)
 """
 
@@ -177,38 +178,81 @@ def strand_odds_ratio(variant, likelihoods):
     return round(math.log(ratio), 3)
 
 
-def _mann_whitney_z(alt_values, ref_values):
-    """Mann-Whitney U z-score, normal approximation with tie correction."""
-    n1, n2 = len(alt_values), len(ref_values)
-    if n1 == 0 or n2 == 0:
-        return None
+_MWU_NORMAL_MIN_N = 10  # mann_whitney_u.cpp:12 s_minimum_normal_n
+
+
+def _tied_ranks(alt_values, ref_values):
+    """Tie-averaged 1-based ranks of alt+ref pooled, plus the ties-for-sigma
+    term sum(c^3-c) over tie groups not spanning the whole pool
+    (mann_whitney_u.cpp:119-179)."""
     combined = np.concatenate([alt_values, ref_values]).astype(np.float64)
     order = np.argsort(combined, kind="mergesort")
     ranks = np.empty_like(combined)
     sorted_vals = combined[order]
+    n = len(combined)
+    nties_sigma = 0.0
     i = 0
-    pos = 1.0
-    while i < len(sorted_vals):
+    while i < n:
         j = i
-        while j + 1 < len(sorted_vals) and sorted_vals[j + 1] == sorted_vals[i]:
+        # the reference groups ties with |a-b| < 1e-6 (cigar_op_is_equal)
+        while j + 1 < n and abs(sorted_vals[j + 1] - sorted_vals[i]) < 1e-6:
             j += 1
-        avg_rank = (pos + pos + (j - i)) / 2.0
+        count = j - i + 1
+        avg_rank = (2 * (i + 1) + (count - 1)) / 2.0
         for k in range(i, j + 1):
             ranks[order[k]] = avg_rank
-        pos += j - i + 1
+        if count > 1 and count != n:
+            nties_sigma += count ** 3 - count
         i = j + 1
-    r1 = np.sum(ranks[:n1])
-    u1 = r1 - n1 * (n1 + 1) / 2.0
-    mean_u = n1 * n2 / 2.0
-    n = n1 + n2
-    # tie correction
-    _, tie_counts = np.unique(combined, return_counts=True)
-    tie_term = np.sum(tie_counts ** 3 - tie_counts)
-    var_u = n1 * n2 / 12.0 * ((n + 1) - tie_term / (n * (n - 1))) if n > 1 else 0.0
-    if var_u <= 0:
-        return 0.0
-    z = (u1 - mean_u) / math.sqrt(var_u)
+    return ranks, nties_sigma
+
+
+def _mann_whitney_z(alt_values, ref_values):
+    """Mann-Whitney U z-score (FIRST_DOMINATES: series1=alt), matching
+    mann_whitney_u.cpp:44-78. Normal approximation with continuity
+    correction when either n >= 10; exact permutation mid-p otherwise."""
+    n1, n2 = len(alt_values), len(ref_values)
+    if n1 == 0 or n2 == 0:
+        return None
+    ranks, nties = _tied_ranks(alt_values, ref_values)
+    u1 = float(np.sum(ranks[:n1])) - n1 * (n1 + 1) / 2.0
+    if n1 >= _MWU_NORMAL_MIN_N or n2 >= _MWU_NORMAL_MIN_N:
+        z = _mwu_z_normal(u1, n1, n2, nties)
+    else:
+        p = _mwu_permutation_p(ranks, n1, n2, u1)
+        # inverse normal CDF (mann_whitney_u.cpp:27-30)
+        from scipy.special import erfinv
+        z = math.sqrt(2.0) * float(erfinv(2.0 * p - 1.0))
     return round(z, 3)
+
+
+def _mwu_z_normal(u, n1, n2, nties):
+    """Normal z with tie-adjusted sigma and continuity correction
+    (mann_whitney_u.cpp:181-201, FIRST_DOMINATES)."""
+    m = n1 * n2 / 2.0
+    correction = -0.5 if nties != 0 else 0.0
+    n = n1 + n2
+    sigma = math.sqrt((n1 * n2 / 12.0) * ((n + 1) - nties / (n * (n - 1))))
+    if sigma == 0:
+        return 0.0
+    return (u - m - correction) / sigma
+
+
+def _mwu_permutation_p(ranks, n1, n2, u_obs):
+    """Exact permutation p over all C(n1+n2, n1) rank assignments, mid-p on
+    the observed bin (mann_whitney_u.cpp:203-264)."""
+    from itertools import combinations
+    histo = {}
+    base = n1 * (n1 + 1) / 2.0
+    for idx in combinations(range(n1 + n2), n1):
+        u = sum(ranks[i] for i in idx) - base
+        key = round(2 * u)
+        histo[key] = histo.get(key, 0) + 1
+    key_obs = round(2 * u_obs)
+    total = sum(histo.values())
+    smaller = histo.get(key_obs, 0) / 2.0
+    smaller += sum(c for k, c in histo.items() if k < key_obs)
+    return smaller / total
 
 
 def _per_read_values(variant, likelihoods, kind):

@@ -286,6 +286,35 @@ class TestAnnotations:
                                         np.array([10.0, 20, 30]))
         assert abs(z) < 0.01
 
+    def test_rank_sum_exact_small_extreme(self):
+        # both groups < 10: exact permutation mid-p. Fully separated 3v3:
+        # p = (0.5)/C(6,3) = 0.025 -> z = Phi^-1(0.025) = -1.96
+        z = annotations._mann_whitney_z(np.array([1.0, 2, 3]),
+                                        np.array([10.0, 11, 12]))
+        assert z == pytest.approx(-1.96, abs=0.001)
+        z = annotations._mann_whitney_z(np.array([10.0, 11, 12]),
+                                        np.array([1.0, 2, 3]))
+        assert z == pytest.approx(1.96, abs=0.001)
+
+    def test_rank_sum_normal_continuity(self):
+        # either group >= 10: normal approximation with -0.5 continuity
+        # correction (FIRST_DOMINATES) and tie-adjusted sigma
+        alt = np.array([20.0] * 6 + [25.0] * 6)
+        ref = np.array([30.0] * 8 + [28.0] * 4)
+        u = 0.0  # alt strictly below ref
+        nties = (6**3 - 6) + (6**3 - 6) + (8**3 - 8) + (4**3 - 4)
+        n1 = n2 = 12
+        sigma = np.sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
+                                          - nties / ((n1 + n2) * (n1 + n2 - 1))))
+        want = (u - n1 * n2 / 2.0 + 0.5) / sigma
+        z = annotations._mann_whitney_z(alt, ref)
+        assert z == pytest.approx(want, abs=0.001)
+
+    def test_rank_sum_all_tied_is_zero(self):
+        z = annotations._mann_whitney_z(np.array([30.0] * 12),
+                                        np.array([30.0] * 12))
+        assert z == 0.0
+
     def test_excess_het_single_het(self):
         v = Variant(contig="c", start=0, stop=0,
                     alleles=[Allele(b"A", True), Allele(b"C")],
