@@ -228,8 +228,53 @@ class BamReader:
                           quals=quals, mate_ref_id=next_ref, mate_pos=next_pos,
                           tlen=tlen, tags=tags, contig=contig)
 
+    def has_index(self):
+        from . import bai
+        return bai.find_index(self.path) is not None
+
+    def fetch(self, contig, start, end):
+        """Indexed iteration of reads overlapping [start, end) on contig
+        (role of sam_itr_querys, reference: src/IOStream/bam_loader.cpp:87).
+        Requires a .bai next to the BAM; records are yielded in coordinate
+        order with overlap filtering."""
+        from . import bai
+        idx_path = bai.find_index(self.path)
+        if idx_path is None:
+            raise FileNotFoundError(f"no .bai index for {self.path}")
+        if not hasattr(self, "_bai"):
+            self._bai = bai.BaiIndex.load(idx_path)
+        ref_id = self.header.name_to_id.get(contig)
+        if ref_id is None:
+            return
+        with open(self.path, "rb") as raw:
+            for vbeg, vend in self._bai.query(ref_id, start, end):
+                for data in bai.iter_chunk_records(raw, vbeg, vend):
+                    rec = self._parse(data)
+                    if rec.ref_id != ref_id or rec.pos >= end:
+                        return
+                    if rec.end > start:
+                        yield rec
+
     def close(self):
         self._fh.close()
+
+
+def merged_fetch(readers, contig, start, end):
+    """K-way merged indexed fetch across BamReaders, ordered like
+    merged_reader (tid, pos, reverse, file-index)."""
+    heap = []
+    iters = [rd.fetch(contig, start, end) for rd in readers]
+    for fi, it in enumerate(iters):
+        read = next(it, None)
+        if read is not None:
+            heap.append(((read.pos, read.is_reverse, fi), fi, read))
+    heapq.heapify(heap)
+    while heap:
+        _, fi, read = heapq.heappop(heap)
+        yield read
+        nxt = next(iters[fi], None)
+        if nxt is not None:
+            heapq.heappush(heap, ((nxt.pos, nxt.is_reverse, fi), fi, nxt))
 
 
 def _parse_tags(data, off):

@@ -25,7 +25,9 @@ def open_read(path):
 def _block(payload, level=6):
     comp = zlib.compressobj(level, zlib.DEFLATED, -15)
     data = comp.compress(payload) + comp.flush()
-    bsize = len(data) + 25 + 1  # header(12) + extra(6) + crc/isize(8) - 1
+    # BC subfield = total block size - 1 (SAM spec 4.1):
+    # header(12) + extra(6) + cdata + crc/isize(8) - 1
+    bsize = len(data) + 25
     header = struct.pack(
         "<BBBBIBBHBBHH",
         0x1F, 0x8B, 8, 4,    # gzip magic, deflate, FEXTRA

@@ -98,7 +98,8 @@ class HaplotypeCaller:
         log = rlog.init(args.log_level)
         rlog.banner({k: v for k, v in dataclasses.asdict(args).items()
                      if v is not None})
-        reader = merged_reader(args.bam_paths)
+        span = parse_span(args.target_span) if args.target_span else None
+        reader = self._open_reader(span)
         # peek header for sample name
         from ..io.bam import BamReader
         header = BamReader(args.bam_paths[0]).header
@@ -116,8 +117,6 @@ class HaplotypeCaller:
         from ..parallel.host_executor import HostExecutor
         self.executor = HostExecutor(args.host_workers, config,
                                      self.fasta.contig_dict)
-
-        span = parse_span(args.target_span) if args.target_span else None
 
         from ..utils.checkpoint import ProgressCheckpoint, \
             truncate_output_after
@@ -175,6 +174,25 @@ class HaplotypeCaller:
         return self.stats
 
     # ------------------------------------------------------------------
+    def _open_reader(self, span):
+        """Sequential k-way merge, or indexed fetch when a -L span is given
+        and every input has a .bai (role of sam_itr_querys, reference:
+        src/IOStream/bam_loader.cpp:63-91). Fetch is padded by the region
+        boundary context so shard-edge regions see their full read support."""
+        from ..io.bam import BamReader, merged_fetch, merged_reader
+        if span is not None:
+            readers = [BamReader(p) for p in self.args.bam_paths]
+            if all(r.has_index() for r in readers):
+                contig, beg, end = span
+                clen = self.fasta.contig_dict.get(contig, 0)
+                pad = C.REGION_MAX_SIZE + C.REGION_PADDING
+                beg = max(0, (beg or 0) - pad)
+                end = min(clen, end + pad) if end is not None else clen
+                return merged_fetch(readers, contig, beg, end)
+            for r in readers:
+                r.close()
+        return merged_reader(self.args.bam_paths)
+
     def _reads_by_contig(self, reader, span):
         """Filtered + downsampled reads grouped per contig (streaming)."""
         filt = HCReadFilter()

@@ -13,7 +13,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override: the host env may preset JAX_PLATFORMS=axon (TPU tunnel)
+os.environ["JAX_PLATFORMS"] = os.environ.get("ENGINE_PLATFORM", "cpu")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/rovaca_jax"))
 
