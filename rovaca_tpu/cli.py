@@ -148,6 +148,31 @@ def run_build_bam_index(argv):
     return 0
 
 
+@register_tool("IndexFeatureFile")
+def run_index_feature_file(argv):
+    p = argparse.ArgumentParser(
+        prog="rovaca_tpu IndexFeatureFile",
+        description="Build a .tbi index for a bgzipped, coordinate-sorted "
+                    "VCF (tabix equivalent)")
+    p.add_argument("-i", "--input", required=True, help="input .vcf.gz")
+    p.add_argument("-o", "--output", default=None,
+                   help="index path (default: <input>.tbi)")
+    a = p.parse_args(argv)
+    if not os.path.exists(a.input):
+        print(f"error: input file does not exist: {a.input}", file=sys.stderr)
+        return 2
+    from rovaca_tpu.io.tabix import build_index
+    t0 = time.time()
+    try:
+        out = build_index(a.input, a.output)
+    except (ValueError, OSError) as exc:
+        print(f"error: cannot index {a.input}: {exc}", file=sys.stderr)
+        return 2
+    print(f"[rovaca_tpu] indexed {a.input} -> {out} "
+          f"in {time.time() - t0:.1f}s", file=sys.stderr)
+    return 0
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if not argv or argv[0] in ("-h", "--help"):

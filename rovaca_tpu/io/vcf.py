@@ -89,6 +89,7 @@ class VcfWriter:
     def __init__(self, path, contig_dict, sample="SAMPLE", gvcf=False,
                  gq_bands=None, command_line=None, append=False):
         self.gvcf = gvcf
+        self.path = path
         if path.endswith(".gz") and not append:
             # BGZF (not plain gzip) so tabix/htslib tooling can index it
             import io as _io
@@ -196,6 +197,14 @@ class VcfWriter:
 
     def close(self):
         self._fh.close()
+        # gz outputs get a .tbi alongside, like the reference
+        # (writer.cpp:97-98; non-gz outputs are not indexed)
+        if self.path.endswith(".gz"):
+            try:
+                from . import tabix
+                tabix.build_index(self.path)
+            except (ValueError, OSError):
+                pass
 
     def __enter__(self):
         return self
@@ -205,28 +214,46 @@ class VcfWriter:
 
 
 class VcfReader:
-    """Minimal VCF reader for dbSNP ID lookups (VcfLoader counterpart)."""
+    """Minimal VCF reader for dbSNP ID lookups (VcfLoader counterpart).
+
+    A bgzipped VCF with a .tbi next to it is queried through the index
+    (htslib tabix role); otherwise the whole file is loaded eagerly."""
 
     def __init__(self, path):
-        opener = gzip.open if path.endswith(".gz") else open
-        self._fh = opener(path, "rt")
+        import os
+        self.path = path
+        self._tbi = None
         self.by_contig = {}
-        for line in self._fh:
-            if line.startswith("#"):
-                continue
-            f = line.rstrip("\n").split("\t")
-            if len(f) < 5:
-                continue
-            contig, pos, rsid, ref, alts = f[0], int(f[1]) - 1, f[2], f[3], f[4]
-            self.by_contig.setdefault(contig, []).append(
-                (pos, ref, alts.split(","), rsid))
-        self._fh.close()
+        if path.endswith(".gz") and os.path.exists(path + ".tbi"):
+            from . import tabix
+            self._tbi = tabix.TabixIndex.load(path + ".tbi")
+            return
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt") as fh:
+            for line in fh:
+                if line.startswith("#"):
+                    continue
+                f = line.rstrip("\n").split("\t")
+                if len(f) < 5:
+                    continue
+                contig, pos, rsid, ref, alts = (f[0], int(f[1]) - 1, f[2],
+                                                f[3], f[4])
+                self.by_contig.setdefault(contig, []).append(
+                    (pos, ref, alts.split(","), rsid))
         for contig in self.by_contig:
             self.by_contig[contig].sort()
 
     def lookup_id(self, contig, start, ref_bases, alt_bases_list):
         """rsID whose position and ref match, else None
         (dbsnp ID-fill semantics)."""
+        if self._tbi is not None:
+            from . import tabix
+            for line in tabix.fetch_lines(self.path, self._tbi, contig,
+                                          start, start + 1):
+                f = line.split("\t", 4)
+                if int(f[1]) - 1 == start and f[3].encode() == ref_bases:
+                    return f[2]
+            return None
         import bisect
         rows = self.by_contig.get(contig, [])
         i = bisect.bisect_left(rows, (start, "", [], ""))

@@ -84,7 +84,8 @@ def main():
     HaplotypeCaller(args).run()
     dt = time.perf_counter() - t0
 
-    # parse calls; normalize alleles to (pos, ref, alt) with left trimming
+    # parse calls; normalize alleles to (pos, ref, alt) left-aligned
+    # against the reference (indels in repeats have many representations)
     calls = {}
     with open(f"{tmp}/out.vcf") as fh:
         for line in fh:
@@ -94,9 +95,9 @@ def main():
             pos0 = int(f[1]) - 1
             gt = f[9].split(":")[0]
             for alt in f[4].split(","):
-                calls[_norm(pos0, f[3], alt)] = gt
+                calls[_norm(pos0, f[3], alt, ref)] = gt
 
-    truth_keys = {_norm(p, r, a): g for p, r, a, g in truth}
+    truth_keys = {_norm(p, r, a, ref): g for p, r, a, g in truth}
     tp = [k for k in truth_keys if k in calls]
     fn_ = [k for k in truth_keys if k not in calls]
     fp = [k for k in calls if k not in truth_keys]
@@ -119,11 +120,23 @@ def main():
         print("[acc] spurious:", fp[:8])
 
 
-def _norm(pos, ref, alt):
-    """Normalize an allele pair: strip shared suffix then shared prefix."""
+def _norm(pos, ref, alt, seq):
+    """VCF-normalize an allele pair: trim shared suffix, left-align through
+    repeat context (the same indel has many representations), trim prefix."""
     r, a = ref, alt
-    while len(r) > 1 and len(a) > 1 and r[-1] == a[-1]:
-        r, a = r[:-1], a[:-1]
+
+    def trim_suffix(pos, r, a):
+        while len(r) > 1 and len(a) > 1 and r[-1] == a[-1]:
+            r, a = r[:-1], a[:-1]
+        return r, a
+
+    r, a = trim_suffix(pos, r, a)
+    # left shift: while both alleles end in the same base, rotate it out
+    while len(r) != len(a) and r[-1] == a[-1] and pos > 0:
+        prev = seq[pos - 1]
+        r, a = prev + r[:-1], prev + a[:-1]
+        pos -= 1
+        r, a = trim_suffix(pos, r, a)
     while len(r) > 1 and len(a) > 1 and r[0] == a[0]:
         r, a = r[1:], a[1:]
         pos += 1
