@@ -6,9 +6,13 @@ runs the caller, and reports recall / precision / genotype concordance.
 Usage: python scripts/accuracy_eval.py [length] [coverage] [n_variants]
 """
 
+import faulthandler
 import os
+import signal
 import sys
 import time
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
