@@ -62,29 +62,6 @@ class PositionObs:
         self.depth = np.zeros((2, length), dtype=np.int32)
 
 
-def _aligned_arrays(read):
-    """(ref_positions, query_offsets, ops) per aligned base; deletions as
-    (-1 offset) entries; insertions skipped for pileup purposes."""
-    out = []
-    pos = read.pos
-    q = 0
-    for op, length in read.cigar:
-        in_q = op in CONSUMES_QUERY
-        in_r = op in CONSUMES_REF
-        if in_q and in_r:
-            for k in range(length):
-                out.append((pos + k, q + k, False))
-            pos += length
-            q += length
-        elif in_r:
-            for k in range(length):
-                out.append((pos + k, -1, True))
-            pos += length
-        elif in_q:
-            q += length
-    return out
-
-
 def _mismatch_qual_suffix_sums(read_bases, read_quals, ref, read_start,
                                ref_start):
     """Baseline and shifted mismatch-quality sums for indel plausibility
@@ -120,39 +97,141 @@ def _mismatch_qual_suffix_sums(read_bases, read_quals, ref, read_start,
     return True
 
 
+def _informative_mask(rb_arr, rq_arr, rp_arr, ref_arr,
+                      max_indel=C.MAX_INDEL_SIZE):
+    """Vectorized indel-informativeness per collapsed read position.
+
+    The per-position suffix comparisons of _mismatch_qual_suffix_sums all
+    live on read-vs-ref diagonals (ref_index - read_index = const within a
+    deletion-free segment), so one suffix-cumsum per needed diagonal (2K+1
+    per segment diagonal) replaces the O(len^2 * K) scalar loops — this is
+    the cached marking scheme the reference gets from its per-read tables.
+    Returns None if any diagonal would leave the reference bounds (caller
+    falls back to the scalar path; only happens at contig edges)."""
+    n = len(rb_arr)
+    res = np.zeros(n, dtype=bool)
+    if n == 0:
+        return res
+    positions = np.arange(n)
+    diags = rp_arr - positions
+    uniq = np.unique(diags)
+    need = set()
+    for d in uniq.tolist():
+        need.update(range(d - max_indel, d + max_indel + 1))
+    suffix = {}
+    for e in sorted(need):
+        idx = e + positions
+        if idx[0] < 0 or idx[-1] >= len(ref_arr):
+            return None
+        mm = np.where(rb_arr != ref_arr[idx], rq_arr, 0).astype(np.int64)
+        s = np.zeros(n + max_indel + 1, dtype=np.int64)
+        s[:n] = mm[::-1].cumsum()[::-1]
+        suffix[e] = s
+    long_enough = (n - positions) > max_indel
+    for d in uniq.tolist():
+        sel = diags == d
+        base = suffix[d][:n]
+        good = long_enough.copy()
+        for size in range(1, max_indel + 1):
+            # deletion of `size` ref bases / insertion of `size` read bases
+            good &= suffix[d + size][:n] > base
+            good &= suffix[d - size][size:n + size] > base
+        res[sel] = good[sel]
+    return res
+
+
+def _read_layout(read):
+    """Vectorized per-read layout: (match_rp, match_qo, next_is_del,
+    del_rp) arrays; insertions consume query only."""
+    match_rp, match_qo, del_rp = [], [], []
+    next_is_del = []
+    items = list(read.cigar)
+    pos, q = read.pos, 0
+    for i, (op, length) in enumerate(items):
+        in_q = op in CONSUMES_QUERY
+        in_r = op in CONSUMES_REF
+        if in_q and in_r:
+            match_rp.append(np.arange(pos, pos + length))
+            match_qo.append(np.arange(q, q + length))
+            nd = np.zeros(length, dtype=bool)
+            # the last base of this block precedes a deletion if the next
+            # ref-consuming aligned element is a D/N block
+            for op2, _ in items[i + 1:]:
+                if op2 in CONSUMES_REF and op2 not in CONSUMES_QUERY:
+                    nd[-1] = True
+                    break
+                if op2 in CONSUMES_REF:
+                    break
+            next_is_del.append(nd)
+            pos += length
+            q += length
+        elif in_r:
+            del_rp.append(np.arange(pos, pos + length))
+            pos += length
+        elif in_q:
+            q += length
+    cat = (lambda parts, dt: np.concatenate(parts)
+           if parts else np.empty(0, dtype=dt))
+    return (cat(match_rp, np.int64), cat(match_qo, np.int64),
+            cat(next_is_del, bool), cat(del_rp, np.int64))
+
+
 def build_position_obs(reads, ref, start, end):
     """Pileup histograms + indel informativeness over [start, end)."""
     L = end - start
     obs = PositionObs(L)
+    from ..utils.refwindow import RefWindow
+    if isinstance(ref, RefWindow):
+        ref_arr = np.frombuffer(ref.data, dtype=np.uint8)
+        ref_off = ref.offset
+    elif isinstance(ref, np.ndarray):
+        ref_arr, ref_off = ref, 0
+    else:
+        ref_arr = np.frombuffer(bytes(ref), dtype=np.uint8)
+        ref_off = 0
     for read in reads:
-        aligned = _aligned_arrays(read)
-        # aligned-one-to-one read arrays (deletions removed)
-        rb = bytes(read.bases[qo] for _, qo, isdel in aligned if not isdel)
-        rq = [int(read.quals[qo]) for _, qo, isdel in aligned if not isdel]
-        ai = 0  # index into rb/rq
-        for idx, (rp, qo, isdel) in enumerate(aligned):
-            off = rp - start
-            if isdel:
-                if 0 <= off < L:
-                    obs.hist[0, off, REF_MODEL_DELETION_QUAL] += 1
-                    obs.depth[0, off] += 1
-                continue
-            if 0 <= off < L:
-                bq = min(int(read.quals[qo]), 63)
-                is_ref = read.bases[qo] == ref[rp]
-                status = 1 if is_ref else 0
-                obs.hist[status, off, bq] += 1
-                obs.depth[status, off] += 1
-                # indel informativeness at this position (bounded ref slice:
-                # only len(read)+indel bases past rp are ever compared)
-                prev_del = idx + 1 < len(aligned) and aligned[idx + 1][2]
-                next_ins = False  # insertions not tracked per-element here
-                if not (prev_del or next_ins):
-                    bound = len(rb) - ai + C.MAX_INDEL_SIZE + 1
-                    ref_slice = ref[rp:rp + bound]
-                    if _mismatch_qual_suffix_sums(rb, rq, ref_slice, ai, 0):
-                        obs.indel_informative[off] += 1
-            ai += 1
+        rp_arr, qo_arr, next_del, del_rp = _read_layout(read)
+        # deletion pileup entries
+        if del_rp.size:
+            doff = del_rp - start
+            doff = doff[(doff >= 0) & (doff < L)]
+            np.add.at(obs.hist, (0, doff, REF_MODEL_DELETION_QUAL), 1)
+            np.add.at(obs.depth, (0, doff), 1)
+        if rp_arr.size == 0:
+            continue
+        bases = np.frombuffer(read.bases, dtype=np.uint8)[qo_arr]
+        quals = np.asarray(read.quals, dtype=np.int64)[qo_arr]
+        off = rp_arr - start
+        inb = (off >= 0) & (off < L)
+        rpl = rp_arr - ref_off  # window-local reference indices
+        status = np.zeros(rp_arr.size, dtype=np.int64)
+        status[inb] = (bases[inb] == ref_arr[rpl[inb]]).astype(np.int64)
+        bq = np.minimum(quals, 63)
+        np.add.at(obs.hist, (status[inb], off[inb], bq[inb]), 1)
+        np.add.at(obs.depth, (status[inb], off[inb]), 1)
+        info = getattr(read, "_info_cache", None)
+        if info is None:
+            info = _informative_mask(bases, quals, rpl, ref_arr)
+            if info is not None:
+                # region-independent (computed untruncated): memoize on the
+                # read, which recurs across overlapping regions
+                read._info_cache = info
+        if info is None:
+            # window-edge read: scalar fallback with truncation semantics
+            # (not cached: the truncation depends on this window)
+            rb = bases.tobytes()
+            rq = quals.tolist()
+            info = np.zeros(len(rb), dtype=bool)
+            for ai in range(len(rb)):
+                bound = len(rb) - ai + C.MAX_INDEL_SIZE + 1
+                rp = int(rpl[ai])
+                if rp < 0:
+                    continue
+                ref_slice = ref_arr[rp:rp + bound].tobytes()
+                info[ai] = _mismatch_qual_suffix_sums(rb, rq, ref_slice,
+                                                      ai, 0)
+        take = inb & info & ~next_del
+        np.add.at(obs.indel_informative, off[take], 1)
     return obs
 
 

@@ -28,7 +28,7 @@ FLAG_SUPPLEMENTARY = 0x800
 class ReadRecord:
     __slots__ = ("name", "flag", "ref_id", "pos", "mapping_quality", "cigar",
                  "bases", "quals", "mate_ref_id", "mate_pos", "tlen", "tags",
-                 "contig")
+                 "contig", "_info_cache")
 
     def __init__(self, name, flag, ref_id, pos, mapping_quality, cigar,
                  bases, quals, mate_ref_id=-1, mate_pos=-1, tlen=0, tags=None,
@@ -46,6 +46,9 @@ class ReadRecord:
         self.tlen = tlen
         self.tags = tags if tags is not None else {}
         self.contig = contig
+        # per-read memo for the GVCF indel-informativeness mask (the read
+        # is shared across overlapping regions; the mask is region-free)
+        self._info_cache = None
 
     # --- flags ---
     @property
