@@ -245,6 +245,10 @@ class HaplotypeCaller:
             if win_start <= resume_floor:
                 continue
             win_end = min(contig_len, win_start + WINDOW_SIZE + WINDOW_MARGIN)
+            if span and span[1] is not None:
+                # don't form (and then discard) regions beyond the -L span:
+                # emission is clamped to the core span anyway
+                win_end = min(win_end, span[2] + pad)
             win_reads = [r for r in reads
                          if r.pos < win_end and r.end > win_start]
             if not win_reads:
