@@ -65,6 +65,10 @@ def run_haplotype_caller(argv):
                    help="resume an interrupted run from its checkpoint")
     p.add_argument("--log-level", default="INFO",
                    choices=["DEBUG", "INFO", "WARNING", "ERROR"])
+    p.add_argument("--compression-level", type=int, default=6,
+                   help="bgzf compression level for .gz outputs (0-9)")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler device/host trace here")
     p.add_argument("--shards", type=int, default=1,
                    help="interval-sharded data-parallel run: N shard "
                         "processes with coordinate-ordered output merge")
@@ -114,9 +118,15 @@ def run_haplotype_caller(argv):
                   target_span=a.target_span,
                   host_workers=a.host_workers,
                   assemble_output_path=a.assemble_output,
-                  resume=a.resume, log_level=a.log_level)
+                  resume=a.resume, log_level=a.log_level,
+                  compression_level=a.compression_level,
+                  profile_dir=a.profile_dir)
     t0 = time.time()
-    stats = HaplotypeCaller(args).run()
+    try:
+        stats = HaplotypeCaller(args).run()
+    except ValueError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
     dt = time.time() - t0
     print(f"[rovaca_tpu] {stats['reads']} reads, {stats['regions']} regions, "
           f"{stats['calls']} records in {dt:.1f}s", file=sys.stderr)

@@ -87,7 +87,8 @@ def _fmt(value):
 
 class VcfWriter:
     def __init__(self, path, contig_dict, sample="SAMPLE", gvcf=False,
-                 gq_bands=None, command_line=None, append=False):
+                 gq_bands=None, command_line=None, append=False,
+                 compression_level=6):
         self.gvcf = gvcf
         self.path = path
         if path.endswith(".gz") and not append:
@@ -95,7 +96,8 @@ class VcfWriter:
             import io as _io
 
             from . import bgzf
-            self._fh = _io.TextIOWrapper(_BgzfRaw(bgzf.Writer(path)))
+            self._fh = _io.TextIOWrapper(
+                _BgzfRaw(bgzf.Writer(path, compression_level)))
         else:
             opener = gzip.open if path.endswith(".gz") else open
             self._fh = opener(path, "at" if append else "wt")

@@ -48,6 +48,8 @@ class HCArgs:
     assemble_output_path: str = None
     resume: bool = False
     log_level: str = "INFO"
+    compression_level: int = 6     # --compression-level (writer.cpp bgzf)
+    profile_dir: str = None        # jax.profiler trace output directory
 
 
 def _enable_persistent_compilation_cache():
@@ -103,6 +105,7 @@ class HaplotypeCaller:
         # peek header for sample name
         from ..io.bam import BamReader
         header = BamReader(args.bam_paths[0]).header
+        self._validate_contigs(header)
         sample = args.sample_name or (header.samples[0] if header.samples
                                       else "SAMPLE")
 
@@ -136,7 +139,8 @@ class HaplotypeCaller:
 
         writer = VcfWriter(args.output_path, self.fasta.contig_dict,
                            sample=sample, gvcf=args.gvcf_mode,
-                           gq_bands=list(args.gq_bands), append=append)
+                           gq_bands=list(args.gq_bands), append=append,
+                           compression_level=args.compression_level)
 
         # close output cleanly on SIGINT/SIGTERM (rovaca_signal_handler.h)
         import signal as _signal
@@ -158,11 +162,20 @@ class HaplotypeCaller:
             from .block_combiner import BlockCombiner
             combiner = BlockCombiner(list(args.gq_bands), writer)
 
+        profiling = False
+        if args.profile_dir:
+            # device+host trace viewable in TensorBoard / Perfetto
+            import jax.profiler as _prof
+            _prof.start_trace(args.profile_dir)
+            profiling = True
         try:
             for contig, reads in self._reads_by_contig(reader, span):
                 self._call_contig(contig, reads, caller, writer, combiner,
                                   span)
         finally:
+            if profiling:
+                import jax.profiler as _prof
+                _prof.stop_trace()
             if combiner:
                 combiner.finish()
             writer.close()
@@ -174,6 +187,21 @@ class HaplotypeCaller:
         return self.stats
 
     # ------------------------------------------------------------------
+    def _validate_contigs(self, bam_header):
+        """Each BAM contig must exist in the reference with matching length
+        (rovaca_tool.hpp:250-262 counterpart)."""
+        ref_dict = self.fasta.contig_dict
+        for name, length in zip(bam_header.ref_names,
+                                bam_header.ref_lengths):
+            ref_len = ref_dict.get(name)
+            if ref_len is None:
+                raise ValueError(
+                    f"BAM contig {name!r} not present in the reference")
+            if ref_len != length:
+                raise ValueError(
+                    f"contig {name!r} length mismatch: BAM {length} "
+                    f"vs reference {ref_len}")
+
     def _open_reader(self, span):
         """Sequential k-way merge, or indexed fetch when a -L span is given
         and every input has a .bai (role of sam_itr_querys, reference:
