@@ -155,6 +155,14 @@ class BamReader:
         from ..native import bamscan_native
         if bamscan_native.available():
             fields, consumed = bamscan_native.scan(buf)
+            # chunk-wide vectorized decode: one nibble expansion + one qual
+            # view array for the whole chunk instead of per-read numpy calls
+            arr = np.frombuffer(buf, dtype=np.uint8)
+            nib = np.empty(arr.size * 2, dtype=np.uint8)
+            nib[0::2] = _NT16_BYTES[arr >> 4]
+            nib[1::2] = _NT16_BYTES[arr & 0xF]
+            self._chunk_quals = arr
+            self._chunk_nib = nib
             mv = memoryview(buf)
             for k in range(fields["rec_off"].shape[0]):
                 self._queue.append(self._parse_scanned(
@@ -188,10 +196,11 @@ class BamReader:
         cigar = Cigar.from_raw(
             [(_CIGAR_OPS[c & 0xF], int(c) >> 4) for c in cigar_raw.tolist()])
         n_seq_bytes = (l_seq + 1) // 2
-        bases = _decode_seq(bytes(body[p:p + n_seq_bytes]), l_seq)
+        # slices into the chunk-wide decoded arrays (see _refill)
+        bases = self._chunk_nib[2 * (off + p):
+                                2 * (off + p) + l_seq].tobytes()
         p += n_seq_bytes
-        quals = np.frombuffer(body, dtype=np.uint8, count=l_seq,
-                              offset=p).copy()
+        quals = self._chunk_quals[off + p:off + p + l_seq]
         p += l_seq
         # remaining payload = tags; copy so the chunk buffer can be freed
         rec_len = struct.unpack_from("<i", mv, off - 4)[0]
