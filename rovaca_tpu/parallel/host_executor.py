@@ -16,7 +16,9 @@ _WORKER_CALLER = None
 
 def _worker_init(config, contig_lengths):
     # workers must never grab the TPU: force CPU before any jax import
-    os.environ["JAX_PLATFORMS"] = "cpu"
+    # (and after — the tunnel sitecustomize overrides the env var)
+    from ..utils.platform import force_cpu
+    force_cpu()
     global _WORKER_CALLER
     from ..pipeline.hc_engine import RegionCaller
     _WORKER_CALLER = RegionCaller(config, contig_lengths)

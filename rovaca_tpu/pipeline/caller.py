@@ -56,6 +56,8 @@ def _enable_persistent_compilation_cache():
     """Kernel compiles dominate cold TPU runs (20-60s each through remote
     tunnels); the persistent cache makes every later run warm."""
     import jax
+    from ..utils.platform import sync_platform_from_env
+    sync_platform_from_env()
     cache_dir = os.environ.get("ROVACA_JAX_CACHE",
                                os.path.expanduser("~/.cache/rovaca_jax"))
     try:

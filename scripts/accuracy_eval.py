@@ -17,8 +17,13 @@ faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
-# hard override: the host env may preset JAX_PLATFORMS=axon (TPU tunnel)
+# hard override: the host env may preset JAX_PLATFORMS=axon (TPU tunnel),
+# and the tunnel sitecustomize overrides the env var after jax import
 os.environ["JAX_PLATFORMS"] = os.environ.get("ENGINE_PLATFORM", "cpu")
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+from rovaca_tpu.utils.platform import sync_platform_from_env  # noqa: E402
+sync_platform_from_env()
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/rovaca_jax"))
 

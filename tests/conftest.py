@@ -12,6 +12,12 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# the tunnel sitecustomize force-updates jax_platforms to "axon,cpu" at
+# interpreter start, overriding the env var — undo it before any device use
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
