@@ -51,6 +51,8 @@ def measure_avx_baseline(lr=128, lh=384):
 def main():
     import jax
     from rovaca_tpu.ops.pairhmm import prep
+    from rovaca_tpu.utils.platform import sync_platform_from_env
+    sync_platform_from_env()
 
     backend = jax.default_backend()
     if backend == "tpu":
@@ -89,7 +91,9 @@ def main():
     out = fn(*variants[0])
     np.asarray(out)  # compile + warmup
 
-    reps = 3 if backend == "tpu" else 1
+    # min over reps: the tunnel's dispatch/fetch latency is noisy, the
+    # device time is not — the best rep is the honest kernel number
+    reps = 5 if backend == "tpu" else 1
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
