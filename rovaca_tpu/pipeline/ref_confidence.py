@@ -13,7 +13,6 @@ import math
 import numpy as np
 
 from .. import constants as C
-from ..genotype.likelihood_calc import gq_from_pls
 from ..genotype.variant import Allele, Genotype, NON_REF, Variant
 from ..reads.cigar import CigarOp, CONSUMES_QUERY, CONSUMES_REF
 from .activity import genotype_cache
@@ -200,18 +199,20 @@ def build_position_obs(reads, ref, start, end):
         if rp_arr.size == 0:
             continue
         bases = np.frombuffer(read.bases, dtype=np.uint8)[qo_arr]
-        quals = np.asarray(read.quals, dtype=np.int64)[qo_arr]
+        quals = np.asarray(read.quals)[qo_arr]
         off = rp_arr - start
         inb = (off >= 0) & (off < L)
         rpl = rp_arr - ref_off  # window-local reference indices
-        status = np.zeros(rp_arr.size, dtype=np.int64)
-        status[inb] = (bases[inb] == ref_arr[rpl[inb]]).astype(np.int64)
+        status = np.zeros(rp_arr.size, dtype=np.int8)
+        # bool -> int8 view is zero-copy
+        status[inb] = (bases[inb] == ref_arr[rpl[inb]]).view(np.int8)
         bq = np.minimum(quals, 63)
         np.add.at(obs.hist, (status[inb], off[inb], bq[inb]), 1)
         np.add.at(obs.depth, (status[inb], off[inb]), 1)
         info = getattr(read, "_info_cache", None)
         if info is None:
-            info = _informative_mask(bases, quals, rpl, ref_arr)
+            info = _informative_mask(bases, quals.astype(np.int64), rpl,
+                                     ref_arr)
             if info is not None:
                 # region-independent (computed untruncated): memoize on the
                 # read, which recurs across overlapping regions
@@ -238,9 +239,41 @@ def build_position_obs(reads, ref, start, end):
 def reference_confidence_records(obs, ref, contig, start, calls_by_pos,
                                  ploidy=2, sample="SAMPLE"):
     """Per-position hom-ref VCs (or the overlapping real call)
-    (calculate_ref_confidence)."""
+    (calculate_ref_confidence). The GL math is batched over all positions;
+    the loop only builds output objects."""
     cache = genotype_cache(ploidy)
     L = obs.hist.shape[1]
+
+    hist_all = obs.hist.astype(np.float64)          # (2, L, 64)
+    hist_all[:, :, : BASE_QUAL_THRESHOLD + 1] = 0.0
+    counts = hist_all.sum(axis=(0, 2))              # (L,)
+    # note cache status 0 = variant evidence == our hist status 0 ✓
+    gl = np.einsum("spq,sqg->pg", hist_all, cache)  # (L, G)
+    gl -= counts[:, None] * math.log10(ploidy)
+    # cap alt GLs by hom-ref GL (get_genotype_likelihoods_capped_...)
+    snp_gls = np.minimum(gl, gl[:, 0:1])
+    snp_gls[:, 0] = gl[:, 0]
+    indel_gls(0, ploidy)  # ensure table
+    ind_gls = _INDEL_TABLE[
+        np.minimum(obs.indel_informative, C.MAX_N_INDEL_INFORMATIVE_READS)]
+
+    snp_pls = np.round(
+        -10.0 * (snp_gls - snp_gls.max(axis=1, keepdims=True))).astype(int)
+    ind_pls = np.round(
+        -10.0 * (ind_gls - ind_gls.max(axis=1, keepdims=True))).astype(int)
+
+    def gq_rows(pls):
+        s = np.partition(pls, 1, axis=1)
+        return np.minimum(s[:, 1] - s[:, 0], 99)
+
+    snp_gq = gq_rows(snp_pls)
+    ind_gq = gq_rows(ind_pls)
+    # take the less confident of the two per position
+    use_snp = snp_gq <= ind_gq
+    pls_all = np.where(use_snp[:, None], snp_pls, ind_pls)
+    gq_all = np.where(use_snp, snp_gq, ind_gq)
+    dp_all = obs.depth.sum(axis=0)
+
     out = []
     pos = 0
     while pos < L:
@@ -250,28 +283,11 @@ def reference_confidence_records(obs, ref, contig, start, calls_by_pos,
             out.append(call)
             pos += max(1, len(call.ref.bases))
             continue
-        hist = obs.hist[:, pos, :].astype(np.float64)
-        hist[:, : BASE_QUAL_THRESHOLD + 1] = 0.0
-        count = hist.sum()
-        # note cache status 0 = variant evidence == our hist status 0 ✓
-        gl = np.einsum("sq,sqg->g", hist, cache)
-        gl -= count * math.log10(ploidy)
-        # cap alt GLs by hom-ref GL (get_genotype_likelihoods_capped_...)
-        snp_gls = np.minimum(gl, gl[0])
-        snp_gls[0] = gl[0]
-        ind_gls = indel_gls(int(obs.indel_informative[pos]), ploidy)
-
-        snp_pls = np.round(-10.0 * (snp_gls - snp_gls.max())).astype(int)
-        ind_pls = np.round(-10.0 * (ind_gls - ind_gls.max())).astype(int)
-        # take the less confident of the two
-        pls = snp_pls if gq_from_pls(snp_pls) <= gq_from_pls(ind_pls) \
-            else ind_pls
-
         ref_allele = Allele(bytes([ref[gpos]]), is_ref=True)
-        g = Genotype(alleles=[ref_allele] * ploidy, pl=list(pls),
-                     gq=gq_from_pls(pls),
+        g = Genotype(alleles=[ref_allele] * ploidy,
+                     pl=pls_all[pos].tolist(), gq=int(gq_all[pos]),
                      ad=[int(obs.depth[1, pos]), int(obs.depth[0, pos])],
-                     dp=int(obs.depth[:, pos].sum()), sample=sample)
+                     dp=int(dp_all[pos]), sample=sample)
         out.append(Variant(contig=contig, start=gpos, stop=gpos,
                            alleles=[ref_allele, NON_REF], genotypes=[g]))
         pos += 1

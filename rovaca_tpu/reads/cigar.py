@@ -38,16 +38,18 @@ _CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
 class Cigar:
     """An immutable list of (CigarOp, length) elements."""
 
-    __slots__ = ("elements",)
+    __slots__ = ("elements", "_ref_len")
 
     def __init__(self, elements=()):
         self.elements = tuple((CigarOp(op), int(n)) for op, n in elements)
+        self._ref_len = None
 
     @classmethod
     def from_raw(cls, elements):
         """Trusted (CigarOp, int) tuples — skips validation/conversion."""
         c = cls.__new__(cls)
         c.elements = tuple(elements)
+        c._ref_len = None
         return c
 
     @classmethod
@@ -86,7 +88,11 @@ class Cigar:
 
     @property
     def reference_length(self):
-        return sum(n for op, n in self.elements if op in CONSUMES_REF)
+        # memoized: read.end is evaluated millions of times in region loops
+        if self._ref_len is None:
+            self._ref_len = sum(n for op, n in self.elements
+                                if op in CONSUMES_REF)
+        return self._ref_len
 
     @property
     def is_empty(self):
