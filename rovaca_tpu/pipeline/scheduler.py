@@ -30,13 +30,28 @@ class RegionJob:
 
 
 class PairHMMScheduler:
-    """Collect region scoring jobs; flush in bucketed mega-batches."""
+    """Collect region scoring jobs; flush in bucketed mega-batches.
 
-    def __init__(self, engine="auto", min_quality_threshold=None):
+    With more than one local accelerator (a pod-slice host), batches are
+    dispatched round-robin across devices — independent region groups are
+    the natural data-parallel unit, no collectives needed."""
+
+    def __init__(self, engine="auto", min_quality_threshold=None,
+                 devices=None):
         self.engine = engine
         self.mqt = (C.MIN_QUALITY_THRESHOLD if min_quality_threshold is None
                     else min_quality_threshold)
         self.jobs = []
+        self._devices_override = devices
+
+    def _devices(self):
+        if self._devices_override is not None:
+            return list(self._devices_override)
+        import jax
+        try:
+            return jax.local_devices()
+        except Exception:
+            return []
 
     def submit(self, key, reads, hap_seqs, pcr_model="CONSERVATIVE"):
         job = RegionJob(key=key, reads=reads, haps=list(hap_seqs),
@@ -78,10 +93,31 @@ class PairHMMScheduler:
         job.result = (lik_rh[kept].T.copy(), kept)
 
     def _run_single(self):
-        from .. import ops
-        for job in self.jobs:
-            raw = pairhmm.pairhmm_raw(job.batch, engine=self.engine)
-            self._postprocess(job, job.batch.result_matrix(raw))
+        """Per-job kernel launches, dispatched round-robin across local
+        devices, all enqueued before the first fetch."""
+        import jax
+        from ..ops.pairhmm.api import default_engine
+        from ..ops.pairhmm.kernel import pairhmm_pallas
+        from ..ops.pairhmm.xla import pairhmm_xla
+
+        engine = default_engine() if self.engine == "auto" else self.engine
+        if engine == "pallas":
+            fn = pairhmm_pallas
+        elif engine == "pallas_interpret":
+            fn = lambda *a: pairhmm_pallas(*a, interpret=True)  # noqa: E731
+        else:
+            fn = pairhmm_xla
+        devices = self._devices()
+        pending = []
+        for i, job in enumerate(self.jobs):
+            b = job.batch
+            args = (b.trans, b.rbase, b.rlen, b.hbase, b.hlen)
+            if len(devices) > 1:
+                dev = devices[i % len(devices)]
+                args = tuple(jax.device_put(a, dev) for a in args)
+            pending.append((job, fn(*args)))
+        for job, out in pending:
+            self._postprocess(job, job.batch.result_matrix(np.asarray(out)))
 
     def _run_indexed(self):
         """Group jobs by (Lr, Lh) bucket; one indexed launch per group."""
@@ -96,9 +132,11 @@ class PairHMMScheduler:
                               []).append(job)
 
         # dispatch every bucket before fetching any result: device work and
-        # transfer latency overlap across buckets
+        # transfer latency overlap across buckets (and across devices on a
+        # pod-slice host — buckets round-robin over local chips)
+        devices = self._devices()
         pending = []
-        for (lr, lh), jobs in groups.items():
+        for gi, ((lr, lh), jobs) in enumerate(groups.items()):
             trans, rbase, rlen, hbase, hlen = [], [], [], [], []
             pairs = []        # (job, h_tile_global, r_tile_global)
             for job in jobs:
@@ -124,11 +162,14 @@ class PairHMMScheduler:
                 hidx[i] = hh
                 ridx[i] = rr
 
-            device_out = pairhmm_pallas_indexed(
-                jnp.asarray(np.stack(trans)), jnp.asarray(np.stack(rbase)),
-                jnp.asarray(np.stack(rlen)), jnp.asarray(np.stack(hbase)),
-                jnp.asarray(np.stack(hlen)), jnp.asarray(hidx),
-                jnp.asarray(ridx))
+            args = (np.stack(trans), np.stack(rbase), np.stack(rlen),
+                    np.stack(hbase), np.stack(hlen), hidx, ridx)
+            if len(devices) > 1:
+                dev = devices[gi % len(devices)]
+                args = tuple(jax.device_put(a, dev) for a in args)
+            else:
+                args = tuple(jnp.asarray(a) for a in args)
+            device_out = pairhmm_pallas_indexed(*args)
             pending.append((jobs, pairs, device_out))
 
         for jobs, pairs, device_out in pending:

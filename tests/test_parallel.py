@@ -49,3 +49,44 @@ class TestMesh:
         import jax
         mesh = make_data_mesh()
         assert mesh.devices.size == len(jax.devices())
+
+
+class TestMultiDeviceScheduler:
+    def _jobs(self, sched, rng, n_jobs):
+        from conftest import FakeRead
+        for j in range(n_jobs):
+            reads = []
+            for _ in range(5):
+                L = int(rng.integers(20, 40))
+                bases = "".join(rng.choice(list("ACGT"), size=L))
+                reads.append(FakeRead(bases, rng.integers(15, 35, size=L)))
+            haps = ["".join(rng.choice(list("ACGT"),
+                                       size=int(rng.integers(40, 70))))
+                    for _ in range(3)]
+            sched.submit(("job", j), reads, [h.encode() for h in haps])
+
+    def test_round_robin_matches_single_device(self):
+        """8 virtual CPU devices: results identical to 1-device run."""
+        import jax
+        import numpy as np
+        from rovaca_tpu.pipeline.scheduler import PairHMMScheduler
+
+        devices = jax.devices()
+        assert len(devices) >= 2
+
+        rng = np.random.default_rng(33)
+        multi = PairHMMScheduler(engine="xla", devices=devices)
+        self._jobs(multi, rng, 6)
+        out_multi = multi.run()
+
+        rng = np.random.default_rng(33)
+        single = PairHMMScheduler(engine="xla", devices=devices[:1])
+        self._jobs(single, rng, 6)
+        out_single = single.run()
+
+        assert out_multi.keys() == out_single.keys()
+        for k in out_multi:
+            lik_m, kept_m = out_multi[k]
+            lik_s, kept_s = out_single[k]
+            assert np.array_equal(kept_m, kept_s)
+            assert np.array_equal(lik_m, lik_s)
