@@ -52,8 +52,10 @@ def run_haplotype_caller(argv):
     p.add_argument("--bqsr-recal-table", default=None)
     p.add_argument("--gq-bands", default=None,
                    help="comma-separated GQ band upper bounds")
-    p.add_argument("-L", "--target-span", default=None,
-                   help="restrict to contig[:start-end] (1-based)")
+    p.add_argument("-L", "--target-span", action="append", default=None,
+                   dest="target_span",
+                   help="restrict to contig[:start-end] (1-based); "
+                        "repeatable — multiple values act as a target list")
     p.add_argument("--pairhmm-engine", default="auto",
                    choices=["auto", "pallas", "xla"])
     p.add_argument("--sample-name", default=None)
@@ -104,6 +106,20 @@ def run_haplotype_caller(argv):
 
     bands = (tuple(int(x) for x in a.gq_bands.split(","))
              if a.gq_bands else C.DEFAULT_GVCF_GQ_BANDS)
+    spans = a.target_span or []
+    target_span = spans[0] if len(spans) == 1 else None
+    target_intervals = None
+    if len(spans) > 1:
+        if a.bed:
+            print("error: use either -b/--bed or multiple -L, not both",
+                  file=sys.stderr)
+            return 2
+        from rovaca_tpu.pipeline.caller import parse_span
+        target_intervals = []
+        for s in spans:
+            contig, beg, end = parse_span(s)
+            target_intervals.append((contig, beg or 0,
+                                     end if end is not None else 1 << 62))
     args = HCArgs(bam_paths=a.bams, reference_path=a.reference,
                   output_path=a.output, bed_path=a.bed,
                   interval_padding=a.interval_padding,
@@ -115,7 +131,8 @@ def run_haplotype_caller(argv):
                   dbsnp_path=a.dbsnp, recal_table=a.bqsr_recal_table,
                   sample_name=a.sample_name,
                   pairhmm_engine=a.pairhmm_engine,
-                  target_span=a.target_span,
+                  target_span=target_span,
+                  target_intervals=target_intervals,
                   host_workers=a.host_workers,
                   assemble_output_path=a.assemble_output,
                   resume=a.resume, log_level=a.log_level,

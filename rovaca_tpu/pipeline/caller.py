@@ -44,6 +44,7 @@ class HCArgs:
     base_quality_threshold: int = C.DEFAULT_BASE_QUALITY_THRESHOLD
     max_mnp_distance: int = C.MAX_MNP_DISTANCE
     target_span: str = None    # "chr20:1000000-2000000" restriction
+    target_intervals: list = None  # multiple -L values -> BED-style targets
     host_workers: int = 1
     assemble_output_path: str = None
     resume: bool = False
@@ -85,6 +86,13 @@ class HaplotypeCaller:
             self.bed = BedFile(args.bed_path,
                                contig_dict=self.fasta.contig_dict,
                                padding=args.interval_padding)
+        elif args.target_intervals:
+            # multiple -L spans behave like an interval list (BED targeting)
+            clamped = [(c, s, min(e, self.fasta.contig_dict.get(c, e)))
+                       for c, s, e in args.target_intervals]
+            self.bed = BedFile.from_intervals(
+                clamped, contig_dict=self.fasta.contig_dict,
+                padding=args.interval_padding)
         self.dbsnp = None
         if args.dbsnp_path:
             from ..io.vcf import VcfReader
