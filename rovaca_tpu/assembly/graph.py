@@ -661,6 +661,99 @@ class SeqGraph:
             changed = True
         return changed
 
+    def merge_diamonds(self):
+        """Split the common prefix+suffix out of diamond middles
+        (hc_assemble_vertex_sequence_spliter.c:75-135, split_and_update
+        :803-965): for top->{middles}->bottom where each middle's only
+        parent is top and only child is bottom, hoist the shared prefix
+        into a vertex after top and the shared suffix into one before
+        bottom; middles fully explained by prefix+suffix collapse into a
+        direct edge with summed multiplicity."""
+        changed = False
+        for top in list(self.vertices):
+            if top not in self.vertices or top.out_degree < 2:
+                continue
+            middles = list(top.out_edges.keys())
+            bottom = None
+            ok = True
+            for m in middles:
+                if (m.out_degree < 1 or m.in_degree != 1 or m is top
+                        or m is self.ref_source or m is self.ref_sink):
+                    ok = False
+                    break
+                for t in m.out_edges:
+                    if bottom is None:
+                        bottom = t
+                    elif t is not bottom:
+                        ok = False
+                        break
+                if not ok:
+                    break
+            if (not ok or bottom is None or bottom is top
+                    or bottom in middles
+                    or bottom.in_degree != len(middles)):
+                continue
+            seqs = [m.seq for m in middles]
+            min_len = min(len(s) for s in seqs)
+            pre = 0
+            while pre < min_len and all(s[pre] == seqs[0][pre]
+                                        for s in seqs):
+                pre += 1
+            suf = 0
+            lim = min_len - pre  # suffix bounded after prefix removal
+            while suf < lim and all(s[len(s) - 1 - suf]
+                                    == seqs[0][len(seqs[0]) - 1 - suf]
+                                    for s in seqs):
+                suf += 1
+            if pre == 0 and suf == 0:
+                continue
+            prefix_seq = seqs[0][:pre]
+            suffix_seq = seqs[0][len(seqs[0]) - suf:] if suf else b""
+
+            entries = []
+            for m in middles:
+                e_in = m.in_edges[top]
+                e_out = m.out_edges[bottom]
+                entries.append((m.seq[pre:len(m.seq) - suf], e_in, e_out))
+                top.out_edges.pop(m)
+                bottom.in_edges.pop(m)
+                m.in_edges.clear()
+                m.out_edges.clear()
+                self.vertices.remove(m)
+            prefix_v = self.add_vertex(prefix_seq) if pre else None
+            suffix_v = self.add_vertex(suffix_seq) if suf else None
+            top_c = prefix_v if prefix_v is not None else top
+            bot_c = suffix_v if suffix_v is not None else bottom
+            direct_w = 0
+            direct_ref = False
+            for rem, e_in, e_out in entries:
+                if rem:
+                    mv = self.add_vertex(rem)
+                    self.add_edge(top_c, mv, e_in.multiplicity, e_in.is_ref)
+                    self.add_edge(mv, bot_c, e_out.multiplicity,
+                                  e_out.is_ref)
+                else:
+                    # prefix + suffix fully explain this middle
+                    direct_w += e_in.multiplicity + e_out.multiplicity
+                    direct_ref |= e_in.is_ref or e_out.is_ref
+            if direct_w:
+                existing = top_c.out_edges.get(bot_c)
+                if existing is None:
+                    self.add_edge(top_c, bot_c, direct_w, direct_ref)
+                else:
+                    existing.multiplicity += direct_w
+                    existing.is_ref |= direct_ref
+            # splice edges carry multiplicity 1, is_ref ORed over the side
+            # they replace (add_prefix/suffix_node_and_edges :940-992)
+            if prefix_v is not None:
+                is_ref = any(e.is_ref for e in prefix_v.out_edges.values())
+                self.add_edge(top, prefix_v, 1, is_ref)
+            if suffix_v is not None:
+                is_ref = any(e.is_ref for e in suffix_v.in_edges.values())
+                self.add_edge(suffix_v, bottom, 1, is_ref)
+            changed = True
+        return changed
+
     def merge_identical_incoming(self):
         """Merge incoming vertices with identical sequence and identical
         sole target (SharedSequenceMerger)."""
@@ -702,7 +795,8 @@ class SeqGraph:
         (hc_assemble_seq_graph_simplify_graph)."""
         for _ in range(max_iterations):
             self.zip_linear_chains()
-            changed = self.split_common_suffixes()
+            changed = self.merge_diamonds()
+            changed |= self.split_common_suffixes()
             changed |= self.merge_identical_incoming()
             if not changed:
                 break

@@ -332,6 +332,56 @@ class TestSeqGraphSimplify:
         haps = {p[0] for p in find_k_best_haplotypes(sg)}
         assert haps == {b"AACCTT"}
 
+    def test_merge_diamonds_prefix_and_suffix(self):
+        sg = self._sg()
+        top = sg.add_vertex(b"AAA")
+        m1 = sg.add_vertex(b"GGCTT")   # GG + C + TT
+        m2 = sg.add_vertex(b"GGATT")   # GG + A + TT
+        bot = sg.add_vertex(b"CC")
+        sg.add_edge(top, m1, 3)
+        sg.add_edge(top, m2, 2)
+        sg.add_edge(m1, bot, 3)
+        sg.add_edge(m2, bot, 2)
+        sg.ref_source, sg.ref_sink = top, bot
+        assert sg.merge_diamonds()
+        seqs = sorted(v.seq for v in sg.vertices)
+        assert b"GG" in seqs and b"TT" in seqs          # hoisted prefix/suffix
+        assert b"C" in seqs and b"A" in seqs            # reduced middles
+        from rovaca_tpu.assembly.graph import find_k_best_haplotypes
+        haps = {p[0] for p in find_k_best_haplotypes(sg)}
+        assert haps == {b"AAAGGCTTCC", b"AAAGGATTCC"}
+
+    def test_merge_diamonds_fully_explained_middle(self):
+        sg = self._sg()
+        top = sg.add_vertex(b"AAA")
+        m1 = sg.add_vertex(b"GGTT")    # fully explained by GG + TT
+        m2 = sg.add_vertex(b"GGATT")
+        bot = sg.add_vertex(b"CC")
+        sg.add_edge(top, m1, 5)
+        sg.add_edge(top, m2, 2)
+        sg.add_edge(m1, bot, 5)
+        sg.add_edge(m2, bot, 2)
+        sg.ref_source, sg.ref_sink = top, bot
+        assert sg.merge_diamonds()
+        from rovaca_tpu.assembly.graph import find_k_best_haplotypes
+        haps = {p[0] for p in find_k_best_haplotypes(sg)}
+        assert haps == {b"AAAGGTTCC", b"AAAGGATTCC"}
+
+    def test_merge_diamonds_rejects_outside_edges(self):
+        sg = self._sg()
+        top = sg.add_vertex(b"AAA")
+        m1 = sg.add_vertex(b"GGC")
+        m2 = sg.add_vertex(b"GGA")
+        bot = sg.add_vertex(b"CC")
+        other = sg.add_vertex(b"T")
+        sg.add_edge(top, m1, 1)
+        sg.add_edge(top, m2, 1)
+        sg.add_edge(m1, bot, 1)
+        sg.add_edge(m2, bot, 1)
+        sg.add_edge(other, bot, 1)  # bottom has an extra parent
+        sg.ref_source, sg.ref_sink = top, bot
+        assert not sg.merge_diamonds()
+
     def test_simplify_preserves_haplotypes(self):
         rng = np.random.default_rng(41)
         ref = rng_seq(rng, 100)
