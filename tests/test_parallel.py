@@ -51,6 +51,70 @@ class TestMesh:
         assert mesh.devices.size == len(jax.devices())
 
 
+def _expand_gvcf(path):
+    """Per-position semantic view of a GVCF: variant lines exact; ref
+    blocks as (GT, GQ-band) per covered position (block boundaries may
+    legitimately differ between sharded and unsharded runs)."""
+    from rovaca_tpu import constants as C
+    bands = list(C.DEFAULT_GVCF_GQ_BANDS)
+
+    def band(gq):
+        for i, b in enumerate(bands):
+            if gq < b:
+                return i
+        return len(bands)
+
+    out = {}
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            f = line.rstrip("\n").split("\t")
+            pos = int(f[1])
+            if "END=" in f[7]:
+                end = int([kv for kv in f[7].split(";")
+                           if kv.startswith("END=")][0][4:])
+                sf = dict(zip(f[8].split(":"), f[9].split(":")))
+                for p in range(pos, end + 1):
+                    out[p] = ("blk", sf["GT"], band(int(sf["GQ"])))
+            else:
+                out[pos] = ("var", line)
+    return out
+
+
+class TestShardedGvcf:
+    def test_sharded_gvcf_semantically_equal(self, tmp_path):
+        import numpy as np
+        import simdata
+        from rovaca_tpu import cli
+        from rovaca_tpu.io.fasta import write_fasta
+
+        rng = np.random.default_rng(9)
+        L = 6000
+        ref = simdata.random_ref(rng, L)
+        pos = 3000
+        hap = ref[:pos] + ("A" if ref[pos] != "A" else "T") + ref[pos + 1:]
+        reads = (simdata.simulate_reads(rng, ref, ref, "chr1", 40)
+                 + simdata.simulate_reads(rng, ref, hap, "chr1", 40))
+        reads.sort(key=lambda r: r.pos)
+        bam = str(tmp_path / "s.bam")
+        fa = str(tmp_path / "ref.fa")
+        simdata.write_test_bam(bam, reads, "chr1", L)
+        write_fasta(fa, {"chr1": ref})
+
+        one = str(tmp_path / "one.g.vcf")
+        two = str(tmp_path / "two.g.vcf")
+        assert cli.main(["HaplotypeCaller", "-i", bam, "-r", fa, "-o", one,
+                         "-e", "GVCF", "--log-level", "WARNING"]) == 0
+        assert cli.main(["HaplotypeCaller", "-i", bam, "-r", fa, "-o", two,
+                         "-e", "GVCF", "--shards", "2",
+                         "--log-level", "WARNING"]) == 0
+        a, b = _expand_gvcf(one), _expand_gvcf(two)
+        assert a.keys() == b.keys()
+        mismatch = {p for p in a if a[p] != b[p]}
+        assert not mismatch, sorted(mismatch)[:5]
+
+
 class TestMultiDeviceScheduler:
     def _jobs(self, sched, rng, n_jobs):
         from conftest import FakeRead
