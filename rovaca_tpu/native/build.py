@@ -10,6 +10,16 @@ import os
 import subprocess
 import threading
 
+# OpenMP defaults for the native batch libs, applied before libgomp loads.
+# Active spin-waiting after each short parallel region starves the XLA/host
+# pipeline threads (measured 8x end-to-end slowdown on a 2-core host);
+# passive waiting + half the cores leaves the other half for XLA and IO.
+os.environ.setdefault("OMP_WAIT_POLICY", "PASSIVE")
+os.environ.setdefault(
+    "OMP_NUM_THREADS",
+    os.environ.get("ROVACA_NATIVE_THREADS")
+    or str(max(1, (os.cpu_count() or 2) // 2)))
+
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LOCK = threading.Lock()
 

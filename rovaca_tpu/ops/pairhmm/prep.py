@@ -106,6 +106,32 @@ def apply_pcr_error_model(bases, gap_quals, pcr_model):
         gap_quals[i - 1] = min(gap_quals[i - 1], cache[repeat_length])
 
 
+def apply_pcr_error_model_batch(bases_list, gap_list, pcr_model):
+    """Batched apply_pcr_error_model over many reads.
+
+    Dispatches one native OpenMP call when the C++ extension is available
+    (rovaca_tpu/native/pcr.cpp); falls back to the per-read python loop.
+    `gap_list` arrays are mutated in place either way.
+    """
+    cache = _PCR_CACHES[pcr_model]
+    if cache is None or not bases_list:
+        return
+    from ...native import pcr_native
+    if not pcr_native.available():
+        for b, g in zip(bases_list, gap_list):
+            apply_pcr_error_model(b, g, pcr_model)
+        return
+    lengths = np.array([len(b) for b in bases_list], dtype=np.int32)
+    offsets = np.zeros(len(bases_list), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    buf = np.frombuffer(b"".join(bases_list), dtype=np.uint8)
+    gq = np.concatenate(gap_list).astype(np.uint8, copy=False)
+    pcr_native.apply_batch(buf, offsets, lengths, gq,
+                           np.asarray(cache, dtype=np.uint8))
+    for i, g in enumerate(gap_list):
+        g[:] = gq[offsets[i]:offsets[i] + lengths[i]]
+
+
 def modify_read_quals(quals, mapping_quality,
                       min_quality_threshold=C.MIN_QUALITY_THRESHOLD):
     """Cap base quals by MQ; floor sub-threshold quals at MIN_QUALITY
@@ -241,13 +267,28 @@ def build_pair_batch(reads, haps, pcr_model="CONSERVATIVE",
     hbase = np.zeros((GH, Lh, HAP_TILE, READ_TILE), dtype=np.int32)
     hlen = np.zeros((GH, HAP_TILE, 1), dtype=np.int32)
 
+    # PCR/STR gap-penalty caps for the whole batch in one native call
+    # (per-read python fallback inside); pass the capped arrays down and
+    # disable the per-read model.
+    base_bytes = [r.bases.encode() if isinstance(r.bases, str)
+                  else bytes(r.bases) for r in reads]
+    gap_list = []
+    for r, bb in zip(reads, base_bytes):
+        ig = getattr(r, "ins_quals", None)
+        if ig is None:
+            ig = np.full(len(bb), C.DEFAULT_GAP_OPEN_PHRED, dtype=np.uint8)
+        else:
+            ig = np.asarray(ig, dtype=np.uint8).copy()
+        gap_list.append(ig)
+    apply_pcr_error_model_batch(base_bytes, gap_list, pcr_model)
+
     for idx, read in enumerate(reads):
         g, lane = divmod(idx, READ_TILE)
         codes, ch = prepare_read_channels(
-            read.bases, read.quals, read.mapping_quality,
-            ins_gops=getattr(read, "ins_quals", None),
+            base_bytes[idx], read.quals, read.mapping_quality,
+            ins_gops=gap_list[idx],
             gcp=getattr(read, "gcp", None),
-            pcr_model=pcr_model,
+            pcr_model="NONE",
             min_quality_threshold=min_quality_threshold, dtype=dtype)
         L = codes.shape[0]
         trans[g, :L, :, lane] = ch.T

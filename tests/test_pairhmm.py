@@ -201,6 +201,31 @@ class TestPcrModel:
         prep.apply_pcr_error_model(bases, g_cons, "CONSERVATIVE")
         assert g_host.min() <= g_cons.min()
 
+    def test_native_batch_matches_python(self):
+        from rovaca_tpu.native import pcr_native
+        rng = np.random.default_rng(7)
+        bases_list, want = [], []
+        for _ in range(50):
+            L = int(rng.integers(5, 160))
+            # bias toward repeats: sample from a small alphabet + STR inserts
+            b = rng.choice(list(b"ACGT"), size=L).astype(np.uint8)
+            if L > 30:
+                unit = bytes(rng.choice(list(b"ACGT"),
+                                        size=int(rng.integers(1, 5))))
+                run = (unit * int(rng.integers(2, 8)))[:L]
+                p = int(rng.integers(0, L - len(run) + 1))
+                b[p:p + len(run)] = np.frombuffer(run, dtype=np.uint8)
+            bases_list.append(bytes(b))
+            g = rng.integers(20, 50, size=L).astype(np.uint8)
+            want.append(g.copy())
+        got = [g.copy() for g in want]
+        for b, g in zip(bases_list, want):
+            prep.apply_pcr_error_model(b, g, "CONSERVATIVE")
+        assert pcr_native.available(), "native pcr lib failed to build"
+        prep.apply_pcr_error_model_batch(bases_list, got, "CONSERVATIVE")
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(w, g)
+
 
 class TestQualMods:
     def test_quals_capped_by_mq_and_floored(self):
