@@ -266,8 +266,23 @@ class HaplotypeCaller:
         if not reads:
             return
 
-        lo = min(r.pos for r in reads)
-        hi = max(r.end for r in reads)
+        # hoist read spans into arrays once: the window/region loops below
+        # select overlapping reads millions of times, and per-read property
+        # chains (r.end -> cigar.reference_length) dominated the host profile
+        pos_arr = np.fromiter((r.pos for r in reads), np.int64, len(reads))
+        end_arr = np.fromiter((r.end for r in reads), np.int64, len(reads))
+        pos_sorted = bool(np.all(pos_arr[1:] >= pos_arr[:-1]))
+
+        def overlapping(p_arr, e_arr, items, start, stop, sorted_ok):
+            if sorted_ok:
+                hi_i = int(np.searchsorted(p_arr, stop))
+                sel = np.nonzero(e_arr[:hi_i] > start)[0]
+            else:
+                sel = np.nonzero((p_arr < stop) & (e_arr > start))[0]
+            return [items[i] for i in sel], sel
+
+        lo = int(pos_arr.min())
+        hi = int(end_arr.max())
         if span and span[1] is not None:
             # process with boundary context beyond the owned span; emission is
             # still filtered to the core span (regions never straddle shards)
@@ -287,10 +302,12 @@ class HaplotypeCaller:
                 # don't form (and then discard) regions beyond the -L span:
                 # emission is clamped to the core span anyway
                 win_end = min(win_end, span[2] + pad)
-            win_reads = [r for r in reads
-                         if r.pos < win_end and r.end > win_start]
+            win_reads, win_sel = overlapping(pos_arr, end_arr, reads,
+                                             win_start, win_end, pos_sorted)
             if not win_reads:
                 continue
+            win_pos = pos_arr[win_sel]
+            win_ends = end_arr[win_sel]
             mask = (self.bed.mask(contig, win_start, win_end, padded=True)
                     if self.bed else None)
             regions = activity.find_active_regions(
@@ -314,8 +331,8 @@ class HaplotypeCaller:
                 self.stats["regions"] += 1
                 pad_s = max(0, region.start - C.REGION_PADDING)
                 pad_e = min(contig_len, region.end + 1 + C.REGION_PADDING)
-                region_reads = [r for r in win_reads
-                                if r.pos < pad_e and r.end > pad_s]
+                region_reads, _ = overlapping(win_pos, win_ends, win_reads,
+                                              pad_s, pad_e, pos_sorted)
                 key = (region.start, region.end)
                 ordered.append(key)
                 rw = RefWindow.of(ref, max(0, pad_s - 700),
