@@ -294,6 +294,64 @@ class HaplotypeCaller:
         resume_floor = (self.checkpoint.completed_through(contig)
                         if self.checkpoint is not None else -1)
         from ..utils import logging as rlog
+
+        def finish_window(results, pw):
+            """Genotype + emit one window whose device batch was dispatched
+            earlier. Runs while the NEXT flush group occupies the device —
+            the TPU analogue of the reference's producer/consumer overlap
+            (haplotypecaller.cpp:117-146)."""
+            prepared, ready_calls, ordered, w_start = pw
+            for key in ordered:
+                if key in ready_calls:
+                    calls = ready_calls[key]
+                else:
+                    lik, kept = results[key]
+                    calls = caller.finish_region(prepared[key], lik, kept)
+                for call in calls:
+                    if span and span[1] is not None and not (
+                            span[1] <= call.start < span[2]):
+                        continue
+                    if self.dbsnp is not None:
+                        rsid = self.dbsnp.lookup_id(
+                            contig, call.start, call.ref.bases,
+                            [a.bases for a in call.alts])
+                        if rsid:
+                            call.id = rsid
+                    self.stats["calls"] += 1
+                    if combiner is not None:
+                        combiner.submit(call)
+                    else:
+                        writer.write(call)
+            if (self.checkpoint is not None and combiner is None):
+                self.checkpoint.mark_window(contig, w_start)
+
+        # regions accumulate across windows into flush groups so device
+        # batches stay large (amortizing dispatch latency); the previous
+        # group is genotyped while the current one runs on the device
+        from ..utils.refwindow import RefWindow
+        from .scheduler import PairHMMScheduler
+
+        def new_sched():
+            return PairHMMScheduler(
+                engine=args.pairhmm_engine,
+                min_quality_threshold=args.base_quality_threshold)
+
+        flush_tiles = int(os.environ.get("ROVACA_FLUSH_TILES", "256"))
+        group_sched = new_sched()
+        group_windows = []   # (prepared, ready_calls, ordered, win_start)
+        group_tiles = 0
+        flushed = None       # (sched, windows) dispatched, not yet collected
+
+        def drain_flushed():
+            nonlocal flushed
+            if flushed is None:
+                return
+            fin_sched, fin_windows = flushed
+            flushed = None
+            results = fin_sched.collect()
+            for pw in fin_windows:
+                finish_window(results, pw)
+
         for win_start in range(max(0, lo - WINDOW_MARGIN), hi, WINDOW_SIZE):
             if win_start <= resume_floor:
                 continue
@@ -313,13 +371,8 @@ class HaplotypeCaller:
             regions = activity.find_active_regions(
                 win_reads, ref, contig, win_start, win_end,
                 emit_inactive=emit_inactive, target_mask=mask)
-            # prepare all regions of the window, score them in one batched
-            # device pass, then genotype (pipeline/scheduler.py)
-            from ..utils.refwindow import RefWindow
-            from .scheduler import PairHMMScheduler
-            sched = PairHMMScheduler(
-                engine=args.pairhmm_engine,
-                min_quality_threshold=args.base_quality_threshold)
+            # prepare all regions of the window, score them in batched
+            # device passes spanning windows, then genotype (scheduler.py)
             prepared = {}
             ready_calls = {}
             ordered = []
@@ -344,33 +397,24 @@ class HaplotypeCaller:
                     ready_calls[key] = p
                 else:
                     prepared[key] = p
-                    sched.submit(key, p.call_reads,
-                                 [h.bases for h in p.haps],
-                                 pcr_model=args.pcr_indel_model)
-            results = sched.run() if prepared else {}
-            for key in ordered:
-                if key in ready_calls:
-                    calls = ready_calls[key]
-                else:
-                    lik, kept = results[key]
-                    calls = caller.finish_region(prepared[key], lik, kept)
-                for call in calls:
-                    if span and span[1] is not None and not (
-                            span[1] <= call.start < span[2]):
-                        continue
-                    if self.dbsnp is not None:
-                        rsid = self.dbsnp.lookup_id(
-                            contig, call.start, call.ref.bases,
-                            [a.bases for a in call.alts])
-                        if rsid:
-                            call.id = rsid
-                    self.stats["calls"] += 1
-                    if combiner is not None:
-                        combiner.submit(call)
-                    else:
-                        writer.write(call)
-            if (self.checkpoint is not None and combiner is None):
-                self.checkpoint.mark_window(contig, win_start)
+                    group_sched.submit(key, p.call_reads,
+                                       [h.bases for h in p.haps],
+                                       pcr_model=args.pcr_indel_model)
+                    group_tiles += (-(-len(p.call_reads) // 128)
+                                    * -(-len(p.haps) // 8))
+            group_windows.append((prepared, ready_calls, ordered, win_start))
+            if group_tiles >= flush_tiles:
+                group_sched.dispatch()
+                drain_flushed()  # genotype the prior group during this one
+                flushed = (group_sched, group_windows)
+                group_sched = new_sched()
+                group_windows = []
+                group_tiles = 0
+        if group_windows:
+            group_sched.dispatch()
+            drain_flushed()
+            flushed = (group_sched, group_windows)
+        drain_flushed()
         if combiner is not None:
             combiner.flush_contig()
         if self.checkpoint is not None and combiner is not None:

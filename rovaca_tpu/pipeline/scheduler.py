@@ -62,20 +62,39 @@ class PairHMMScheduler:
     # ------------------------------------------------------------------
     def run(self):
         """Score all submitted jobs; returns {key: (lik, kept)}."""
+        self.dispatch()
+        return self.collect()
+
+    def dispatch(self):
+        """Build batches and enqueue all device work WITHOUT fetching.
+
+        Pair with collect(): the caller can do host work (genotyping the
+        previous window) while the device sweeps this one — the TPU
+        analogue of the reference's producer/consumer thread overlap
+        (haplotypecaller.cpp:117-146)."""
         import jax
 
         use_indexed = (self.engine in ("auto", "pallas")
                        and jax.default_backend() == "tpu")
-        for job in self.jobs:
-            job.batch = prep.build_pair_batch(
-                job.reads, job.haps, pcr_model=job.pcr_model,
-                min_quality_threshold=self.mqt)
-
         if use_indexed:
-            self._run_indexed()
+            from ..ops.pairhmm import compact
+            for job in self.jobs:
+                job.batch = compact.build_pair_batch_compact(
+                    job.reads, job.haps, pcr_model=job.pcr_model,
+                    min_quality_threshold=self.mqt)
+            self._collect_fn = self._dispatch_indexed()
         else:
-            self._run_single()
+            for job in self.jobs:
+                job.batch = prep.build_pair_batch(
+                    job.reads, job.haps, pcr_model=job.pcr_model,
+                    min_quality_threshold=self.mqt)
+            self._collect_fn = self._dispatch_single()
 
+    def collect(self):
+        """Fetch + postprocess everything dispatched; {key: (lik, kept)}."""
+        if self.jobs and getattr(self, "_collect_fn", None) is not None:
+            self._collect_fn()
+            self._collect_fn = None
         out = {}
         for job in self.jobs:
             out[job.key] = job.result
@@ -92,7 +111,7 @@ class PairHMMScheduler:
         kept = np.nonzero(~drop)[0]
         job.result = (lik_rh[kept].T.copy(), kept)
 
-    def _run_single(self):
+    def _dispatch_single(self):
         """Per-job kernel launches, dispatched round-robin across local
         devices, all enqueued before the first fetch."""
         import jax
@@ -116,14 +135,22 @@ class PairHMMScheduler:
                 dev = devices[i % len(devices)]
                 args = tuple(jax.device_put(a, dev) for a in args)
             pending.append((job, fn(*args)))
-        for job, out in pending:
-            self._postprocess(job, job.batch.result_matrix(np.asarray(out)))
 
-    def _run_indexed(self):
-        """Group jobs by (Lr, Lh) bucket; one indexed launch per group."""
+        def collect():
+            for job, out in pending:
+                self._postprocess(job,
+                                  job.batch.result_matrix(np.asarray(out)))
+        return collect
+
+    def _dispatch_indexed(self):
+        """Group jobs by (Lr, Lh) bucket; one indexed launch per group.
+
+        Uses the compact integer layout (ops/pairhmm/compact.py): channels
+        and lane-broadcast hap tiles materialize on device, so the
+        host->device payload is ~10-500x smaller than dense."""
         import jax
         import jax.numpy as jnp
-        from ..ops.pairhmm.indexed import pairhmm_pallas_indexed
+        from ..ops.pairhmm.compact import pairhmm_indexed_compact
 
         groups = {}
         for job in self.jobs:
@@ -137,18 +164,20 @@ class PairHMMScheduler:
         devices = self._devices()
         pending = []
         for gi, ((lr, lh), jobs) in enumerate(groups.items()):
-            trans, rbase, rlen, hbase, hlen = [], [], [], [], []
+            q_t, gi_t, gc_t, rbase, rlen, hcode, hlen = ([] for _ in range(7))
             pairs = []        # (job, h_tile_global, r_tile_global)
             for job in jobs:
                 b = job.batch
                 r_off = len(rlen)
                 h_off = len(hlen)
                 for g in range(b.gr):
-                    trans.append(b.trans[g])
+                    q_t.append(b.q[g])
+                    gi_t.append(b.gi[g])
+                    gc_t.append(b.gc[g])
                     rbase.append(b.rbase[g])
                     rlen.append(b.rlen[g])
                 for g in range(b.gh):
-                    hbase.append(b.hbase[g])
+                    hcode.append(b.hcode[g])
                     hlen.append(b.hlen[g])
                 for hh in range(b.gh):
                     for rr in range(b.gr):
@@ -162,28 +191,42 @@ class PairHMMScheduler:
                 hidx[i] = hh
                 ridx[i] = rr
 
-            args = (np.stack(trans), np.stack(rbase), np.stack(rlen),
-                    np.stack(hbase), np.stack(hlen), hidx, ridx)
+            def stack_pow2(tiles):
+                # pad the stacked tile count to a pow2 so jit shapes come
+                # from a small closed set (otherwise every flush group is a
+                # fresh compile); padding tiles are never indexed by
+                # hidx/ridx, they only ride the transfer
+                n = len(tiles)
+                n_pad = 1 << max(0, (n - 1).bit_length())
+                out = np.zeros((n_pad,) + tiles[0].shape, tiles[0].dtype)
+                out[:n] = np.stack(tiles)
+                return out
+
+            args = (stack_pow2(q_t), stack_pow2(gi_t), stack_pow2(gc_t),
+                    stack_pow2(rbase), stack_pow2(rlen),
+                    stack_pow2(hcode), stack_pow2(hlen), hidx, ridx)
             if len(devices) > 1:
                 dev = devices[gi % len(devices)]
                 args = tuple(jax.device_put(a, dev) for a in args)
             else:
                 args = tuple(jnp.asarray(a) for a in args)
-            device_out = pairhmm_pallas_indexed(*args)
+            device_out = pairhmm_indexed_compact(*args)
             pending.append((jobs, pairs, device_out))
 
-        for jobs, pairs, device_out in pending:
-            raw = np.asarray(device_out)
-            # scatter per-job results back into (GH, GR, 8, 128) layouts
-            per_job = {}
-            for i, (job, hh, rr) in enumerate(pairs):
-                per_job.setdefault(id(job), {})[(hh, rr)] = raw[i]
-            for job in jobs:
-                b = job.batch
-                full = np.zeros((b.gh, b.gr, 8, 128), dtype=np.float32)
-                tiles = per_job[id(job)]
-                h_off = min(h for h, _ in tiles)
-                r_off = min(r for _, r in tiles)
-                for (hh, rr), tile in tiles.items():
-                    full[hh - h_off, rr - r_off] = tile
-                self._postprocess(job, b.result_matrix(full))
+        def collect():
+            for jobs, pairs, device_out in pending:
+                raw = np.asarray(device_out)
+                # scatter per-job results back into (GH, GR, 8, 128) layouts
+                per_job = {}
+                for i, (job, hh, rr) in enumerate(pairs):
+                    per_job.setdefault(id(job), {})[(hh, rr)] = raw[i]
+                for job in jobs:
+                    b = job.batch
+                    full = np.zeros((b.gh, b.gr, 8, 128), dtype=np.float32)
+                    tiles = per_job[id(job)]
+                    h_off = min(h for h, _ in tiles)
+                    r_off = min(r for _, r in tiles)
+                    for (hh, rr), tile in tiles.items():
+                        full[hh - h_off, rr - r_off] = tile
+                    self._postprocess(job, b.result_matrix(full))
+        return collect

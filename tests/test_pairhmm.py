@@ -227,6 +227,79 @@ class TestPcrModel:
             np.testing.assert_array_equal(w, g)
 
 
+class TestCompactBatch:
+    """The compact integer layout must reproduce the dense channels exactly
+    (the device materializes from the same (128,) tables)."""
+
+    def _random_case(self, seed=3, n_reads=20, n_haps=5):
+        rng = np.random.default_rng(seed)
+
+        class _R:
+            def __init__(self, bases, quals, mq):
+                self.bases = bases
+                self.quals = quals
+                self.mapping_quality = mq
+
+        reads = []
+        for _ in range(n_reads):
+            L = int(rng.integers(10, 90))
+            reads.append(_R("".join(rng.choice(list("ACGTN"), size=L)),
+                            rng.integers(2, 45, size=L),
+                            int(rng.integers(10, 61))))
+        haps = ["".join(rng.choice(list("ACGT"),
+                                   size=int(rng.integers(40, 200))))
+                for _ in range(n_haps)]
+        return reads, haps
+
+    def test_channels_and_codes_match_dense(self):
+        from rovaca_tpu.ops.pairhmm import compact
+
+        reads, haps = self._random_case()
+        dense = prep.build_pair_batch(reads, haps)
+        comp = compact.build_pair_batch_compact(reads, haps)
+
+        trans = np.asarray(compact.materialize_channels(
+            comp.q, comp.gi, comp.gc))
+        # padding positions differ by design (dense zeroes channels, compact
+        # materializes from q=0) — compare only real (row, lane) entries
+        for idx, r in enumerate(reads):
+            g, lane = divmod(idx, prep.READ_TILE)
+            L = len(r.bases)
+            np.testing.assert_array_equal(trans[g, :L, :, lane],
+                                          dense.trans[g, :L, :, lane])
+            np.testing.assert_array_equal(
+                comp.rbase[g, :L, lane].astype(np.int32),
+                dense.rbase[g, :L, lane])
+        np.testing.assert_array_equal(comp.rlen, dense.rlen)
+        np.testing.assert_array_equal(comp.hlen, dense.hlen)
+        hbase = np.asarray(compact.broadcast_haps(comp.hcode))
+        np.testing.assert_array_equal(hbase, dense.hbase)
+
+    def test_compact_kernel_matches_dense_interpret(self):
+        import jax.numpy as jnp
+        from rovaca_tpu.ops.pairhmm import compact
+        from rovaca_tpu.ops.pairhmm.kernel import pairhmm_pallas
+
+        reads, haps = self._random_case(seed=9, n_reads=6, n_haps=3)
+        dense = prep.build_pair_batch(reads, haps, len_buckets=(64, 128),
+                                      hap_len_buckets=(256,))
+        comp = compact.build_pair_batch_compact(reads, haps,
+                                                len_buckets=(64, 128),
+                                                hap_len_buckets=(256,))
+        want = np.asarray(pairhmm_pallas(
+            dense.trans, dense.rbase, dense.rlen, dense.hbase, dense.hlen,
+            interpret=True))
+        got = np.asarray(pairhmm_pallas(
+            np.asarray(compact.materialize_channels(comp.q, comp.gi,
+                                                    comp.gc)),
+            comp.rbase.astype(np.int32), comp.rlen,
+            np.asarray(compact.broadcast_haps(comp.hcode)), comp.hlen,
+            interpret=True))
+        m_want = dense.result_matrix(want)
+        m_got = comp.result_matrix(got)
+        np.testing.assert_allclose(m_got, m_want, rtol=1e-6)
+
+
 class TestQualMods:
     def test_quals_capped_by_mq_and_floored(self):
         q = prep.modify_read_quals([40, 17, 5, 30], mapping_quality=35)
