@@ -17,6 +17,8 @@ assemble/hc_assemble_main.c:27-136, hc_assemble_reads.c:35-124):
 
 import dataclasses
 
+import numpy as np
+
 from .. import constants as C
 from ..reads import clipping
 from ..reads.cigar import Cigar
@@ -56,19 +58,19 @@ def usable_for_assembly(base, qual):
 
 def sequences_for_assembly(read, kmer_size):
     """Split a read into maximal stretches of usable bases at least
-    kmer_size long (hc_assemble_graph_add_read)."""
-    seqs = []
+    kmer_size long (hc_assemble_graph_add_read). Vectorized run-finding —
+    this is called once per (read, kmer-size) in the assembly hot loop."""
     bases, quals = read.bases, read.quals
-    last_good = -1
-    for end in range(len(bases) + 1):
-        if end == len(bases) or not usable_for_assembly(bases[end],
-                                                        quals[end]):
-            if last_good != -1 and end - last_good >= kmer_size:
-                seqs.append(bases[last_good:end])
-            last_good = -1
-        elif last_good == -1:
-            last_good = end
-    return seqs
+    n = len(bases)
+    b = np.frombuffer(bases, dtype=np.uint8, count=n)
+    q = np.asarray(quals)
+    good = (b != ord("N")) & (q >= C.MIN_BASE_QUALITY_TO_USE_IN_ASSEMBLY)
+    if good.all():
+        return [bases] if n >= kmer_size else []
+    d = np.diff(np.concatenate(([0], good.view(np.int8), [0])))
+    starts = np.nonzero(d == 1)[0]
+    ends = np.nonzero(d == -1)[0]
+    return [bases[s:e] for s, e in zip(starts, ends) if e - s >= kmer_size]
 
 
 def finalize_region_reads(reads, span_start, span_end):

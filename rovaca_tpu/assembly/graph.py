@@ -83,10 +83,17 @@ class ReadThreadingGraph:
     def determine_non_unique_kmers(self, sequences):
         """Kmers occurring more than once within any single sequence
         (GATK determineNonUniques)."""
+        k = self.k
+        nu = self.non_unique
         for seq in sequences:
-            for km, n in _sequence_kmer_counts(seq, self.k).items():
-                if n > 1:
-                    self.non_unique.add(km)
+            seen = set()
+            add_seen = seen.add
+            for i in range(len(seq) - k + 1):
+                km = seq[i:i + k]
+                if km in seen:
+                    nu.add(km)
+                else:
+                    add_seen(km)
 
     def ref_has_non_unique_kmers(self, ref):
         return any(n > 1 for n in _sequence_kmer_counts(ref, self.k).values())
@@ -135,17 +142,22 @@ class ReadThreadingGraph:
         if is_ref:
             self.ref_source = v
         for i in range(start + 1, len(seq) - k + 1):
-            next_kmer = seq[i:i + k]
-            next_base = next_kmer[-1:]
+            nb = seq[i + k - 1]  # int byte: avoids slicing in the scan below
             # extend along an existing out-edge whose vertex ends in next_base
             target = None
             for cand in v.out_edges:
-                if cand.kmer.endswith(next_base):
+                if cand.kmer[-1] == nb:
                     target = cand
                     break
             if target is None:
-                target = self._get_or_create(next_kmer)
-            self._add_edge(v, target, is_ref)
+                target = self._get_or_create(seq[i:i + k])
+                e = Edge(0, False)
+                v.out_edges[target] = e
+                target.in_edges[v] = e
+            else:
+                e = v.out_edges[target]
+            e.multiplicity += 1
+            e.is_ref |= is_ref
             v = target
         if is_ref:
             self.ref_sink = v
