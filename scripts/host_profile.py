@@ -68,6 +68,7 @@ def main():
 
     use_cprofile = "--cprofile" in sys.argv
     t0 = time.perf_counter()
+    c0 = time.process_time()
     if use_cprofile:
         import cProfile
         import pstats
@@ -83,7 +84,9 @@ def main():
         stats = HaplotypeCaller(args).run()
         dt = time.perf_counter() - t0
     bases = length * coverage
-    print(f"[run] {stats} in {dt:.1f}s -> "
+    import jax
+    print(f"[run] backend={jax.default_backend()} {stats} in {dt:.1f}s "
+          f"(cpu {time.process_time() - c0:.1f}s) -> "
           f"{bases / dt / 1e3:.1f} kbases/s aligned throughput", flush=True)
 
 
