@@ -17,11 +17,17 @@ from .record import ReadRecord
 
 MIN_TAIL_QUALITY = 9  # reference: apply/assemble/hc_assemble.h:8
 
+# insertion sentinel for the vectorized event arrays (distinct from genuine
+# negative reference positions produced by reverted soft clips at pos < 0)
+_INS = np.int64(-(1 << 62))
+_NEG = np.int64(-(1 << 62)) - 1
+
 
 def _explode(read):
-    """Per-query-base (ref_pos or None, is_softclip) using unclipped coords
-    for soft-clipped bases."""
-    out = []
+    """Per-query-base event arrays (ref positions, is_softclip) using
+    unclipped coords for soft-clipped bases. Insertions carry _INS."""
+    refs = []
+    scs = []
     pos = read.pos
     # leading soft clips get positions before read.pos
     first = True
@@ -29,53 +35,63 @@ def _explode(read):
         if op == CigarOp.H:
             continue
         if op in (CigarOp.M, CigarOp.EQ, CigarOp.X):
-            out.extend((pos + k, False) for k in range(length))
+            refs.append(np.arange(pos, pos + length, dtype=np.int64))
+            scs.append(np.zeros(length, dtype=bool))
             pos += length
             first = False
         elif op == CigarOp.I:
-            out.extend((None, False) for _ in range(length))
+            refs.append(np.full(length, _INS, dtype=np.int64))
+            scs.append(np.zeros(length, dtype=bool))
             first = False
         elif op == CigarOp.S:
             if first:
-                out.extend((pos - length + k, True) for k in range(length))
+                refs.append(np.arange(pos - length, pos, dtype=np.int64))
             else:
-                out.extend((pos + k, True) for k in range(length))
+                refs.append(np.arange(pos, pos + length, dtype=np.int64))
                 pos += length
+            scs.append(np.ones(length, dtype=bool))
             first = False
         elif op in (CigarOp.D, CigarOp.N):
             pos += length
-    return out
+    if not refs:
+        return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=bool))
+    return np.concatenate(refs), np.concatenate(scs)
 
 
 def _rebuild(read, events, keep):
     """New ReadRecord from kept per-base events (indices into bases)."""
-    if not keep:
+    ref_all, sc_all = events
+    keep = np.asarray(keep, dtype=np.int64)
+    if keep.size == 0:
         return read.copy(bases=b"", quals=np.zeros(0, dtype=np.uint8),
                          cigar=Cigar())
-    bases = bytes(read.bases[i] for i in keep)
-    quals = read.quals[keep]
+    bases = np.frombuffer(read.bases, dtype=np.uint8)[keep].tobytes()
+    quals = np.asarray(read.quals)[keep]
+    r = ref_all[keep]
+    s = sc_all[keep]
+    opc = np.where(s, np.int8(4), np.where(r == _INS, np.int8(1),
+                                           np.int8(0)))  # S / I / M
+    m = opc == 0
+    # D gap before an M base = ref jump vs the previous kept M base
+    acc = np.maximum.accumulate(np.where(m, r, _NEG))
+    prev = np.concatenate(([_NEG], acc[:-1]))
+    gap = np.where(m & (prev != _NEG), r - prev - 1, 0)
+    boundary = np.empty(opc.shape, dtype=bool)
+    boundary[0] = True
+    boundary[1:] = opc[1:] != opc[:-1]
+    boundary |= gap > 0
+    starts = np.nonzero(boundary)[0]
+    ends = np.append(starts[1:], opc.size)
+    ops = (CigarOp.M, CigarOp.I, CigarOp.D, CigarOp.N, CigarOp.S)
     elems = []
-    new_pos = None
-    prev_ref = None
-    for i in keep:
-        ref_pos, is_sc = events[i]
-        if is_sc:
-            op = CigarOp.S
-        elif ref_pos is None:
-            op = CigarOp.I
-        else:
-            op = CigarOp.M
-        if op == CigarOp.M:
-            if new_pos is None:
-                new_pos = ref_pos
-            if prev_ref is not None and ref_pos > prev_ref + 1:
-                elems.append((CigarOp.D, ref_pos - prev_ref - 1))
-            prev_ref = ref_pos
-        elems.append((op, 1))
+    for st, en in zip(starts, ends):
+        g = int(gap[st])
+        if g > 0:
+            elems.append((CigarOp.D, g))
+        elems.append((ops[opc[st]], int(en - st)))
     # leading insertions before any aligned base anchor at the first ref pos
-    if new_pos is None:
-        new_pos = read.pos
-    cigar = Cigar(elems).normalized()
+    new_pos = int(r[m][0]) if m.any() else read.pos
+    cigar = Cigar.from_raw(elems).normalized()
     return read.copy(bases=bases, quals=quals, cigar=cigar, pos=new_pos)
 
 
@@ -93,11 +109,10 @@ def revert_soft_clips(read):
     new_pos = max(0, pos)
     if pos < 0:
         # clamp: drop bases hanging off the contig start
-        drop = -pos
         events_read = read.copy(cigar=Cigar(elems).normalized(), pos=pos)
         events = _explode(events_read)
-        keep = [i for i, (rp, _) in enumerate(events)
-                if rp is None or rp >= 0]
+        ref, _ = events
+        keep = np.nonzero((ref == _INS) | (ref >= 0))[0]
         return _rebuild(events_read, events, keep)
     del new_pos
     return read.copy(cigar=Cigar(elems).normalized(), pos=pos)
@@ -123,20 +138,20 @@ def clip_low_qual_ends(read, threshold=MIN_TAIL_QUALITY):
     n = len(read.bases)
     if n == 0:
         return read
-    q = read.quals
-    clip_end = n - 1
-    while clip_end > 0 and q[clip_end] <= threshold:
-        clip_end -= 1
-    clip_start = 0
-    while clip_start < n and q[clip_start] <= threshold:
-        clip_start += 1
+    q = np.asarray(read.quals)
+    good = q > threshold
+    if not good.any():
+        return read.copy(bases=b"", quals=np.zeros(0, dtype=np.uint8),
+                         cigar=Cigar())
+    clip_start = int(np.argmax(good))
+    clip_end = n - 1 - int(np.argmax(good[::-1]))
     if clip_start == 0 and clip_end == n - 1:
         return read
     if clip_end <= clip_start:
         return read.copy(bases=b"", quals=np.zeros(0, dtype=np.uint8),
                          cigar=Cigar())
     events = _explode(read)
-    keep = list(range(clip_start, clip_end + 1))
+    keep = np.arange(clip_start, clip_end + 1)
     return _rebuild(read, events, keep)
 
 
@@ -145,15 +160,20 @@ def hard_clip_to_region(read, region_start, region_end):
     (0-based inclusive; hc_assemble_utils_hard_clip_to_region). Insertions
     attach to their left neighbor's position."""
     events = _explode(read)
-    keep = []
-    last_ref = read.pos - 1
-    for i, (ref_pos, is_sc) in enumerate(events):
-        anchor = ref_pos if ref_pos is not None else last_ref
-        if ref_pos is not None:
-            last_ref = ref_pos
-        if region_start <= anchor <= region_end:
-            keep.append(i)
-    if len(keep) == len(events):
+    ref, _sc = events
+    n = ref.size
+    # insertions anchor at the nearest real position to their left
+    # (read.pos - 1 before any aligned base)
+    is_ins = ref == _INS
+    idx = np.arange(n)
+    last_real = np.maximum.accumulate(np.where(is_ins, -1, idx))
+    anchor = np.where(
+        is_ins,
+        np.where(last_real >= 0, ref[np.maximum(last_real, 0)],
+                 np.int64(read.pos - 1)),
+        ref)
+    keep = np.nonzero((anchor >= region_start) & (anchor <= region_end))[0]
+    if keep.size == n:
         return read
     return _rebuild(read, events, keep)
 
