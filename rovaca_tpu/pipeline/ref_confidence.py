@@ -188,6 +188,8 @@ def build_position_obs(reads, ref, start, end):
     else:
         ref_arr = np.frombuffer(bytes(ref), dtype=np.uint8)
         ref_off = 0
+    per_read = []   # [off, inb, next_del, info, bases, quals, rpl, read]
+    pending = []    # indices into per_read lacking an informativeness mask
     for read in reads:
         rp_arr, qo_arr, next_del, del_rp = _read_layout(read)
         # deletion pileup entries
@@ -210,12 +212,33 @@ def build_position_obs(reads, ref, start, end):
         np.add.at(obs.hist, (status[inb], off[inb], bq[inb]), 1)
         np.add.at(obs.depth, (status[inb], off[inb]), 1)
         info = getattr(read, "_info_cache", None)
+        entry = [off, inb, next_del, info, bases, quals, rpl, read]
+        if info is None:
+            pending.append(len(per_read))
+        per_read.append(entry)
+
+    if pending:
+        # one native OpenMP call for every uncached read of the region
+        # (rovaca_tpu/native/refconf.cpp); ok=False reads fall back below
+        from ..native import refconf_native
+        if refconf_native.available():
+            masks, ok = refconf_native.informative_mask_batch(
+                [per_read[i][4] for i in pending],
+                [per_read[i][5] for i in pending],
+                [per_read[i][6] for i in pending],
+                ref_arr, C.MAX_INDEL_SIZE)
+            for j, i in enumerate(pending):
+                if ok[j]:
+                    per_read[i][3] = masks[j]
+                    # region-independent (computed untruncated): memoize on
+                    # the read, which recurs across overlapping regions
+                    per_read[i][7]._info_cache = masks[j]
+
+    for off, inb, next_del, info, bases, quals, rpl, read in per_read:
         if info is None:
             info = _informative_mask(bases, quals.astype(np.int64), rpl,
                                      ref_arr)
             if info is not None:
-                # region-independent (computed untruncated): memoize on the
-                # read, which recurs across overlapping regions
                 read._info_cache = info
         if info is None:
             # window-edge read: scalar fallback with truncation semantics

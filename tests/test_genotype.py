@@ -322,3 +322,46 @@ class TestAnnotations:
                                                  Allele(b"C")])])
         eh = annotations.excess_het(v)
         assert eh == pytest.approx(3.0103, abs=0.01)
+
+
+class TestInformativeMaskNative:
+    """Native batch indel-informativeness must equal the numpy version."""
+
+    def test_native_matches_numpy(self):
+        import numpy as np
+        from rovaca_tpu import constants as C
+        from rovaca_tpu.native import refconf_native
+        from rovaca_tpu.pipeline.ref_confidence import _informative_mask
+
+        assert refconf_native.available(), "native refconf lib failed to build"
+        rng = np.random.default_rng(11)
+        ref = rng.choice(list(b"ACGT"), size=600).astype(np.uint8)
+        bases_l, quals_l, rpl_l, want = [], [], [], []
+        for t in range(40):
+            n = int(rng.integers(5, 120))
+            start = int(rng.integers(0, 400))
+            rb = ref[start:start + n].copy()
+            # sprinkle mismatches
+            nmm = int(rng.integers(0, 6))
+            for _ in range(nmm):
+                p = int(rng.integers(0, n))
+                rb[p] = rng.choice(list(b"ACGT"))
+            rq = rng.integers(2, 60, size=n).astype(np.uint8)
+            rpl = start + np.arange(n, dtype=np.int64)
+            if t % 5 == 0 and n > 30:
+                # simulate an internal deletion: shift the tail's diagonal
+                cut = n // 2
+                rpl[cut:] += int(rng.integers(1, 4))
+                rb[cut:] = ref[rpl[cut:]]
+            bases_l.append(rb)
+            quals_l.append(rq)
+            rpl_l.append(rpl)
+            want.append(_informative_mask(rb, rq.astype(np.int64), rpl, ref))
+        masks, ok = refconf_native.informative_mask_batch(
+            bases_l, quals_l, rpl_l, ref, C.MAX_INDEL_SIZE)
+        for i in range(len(want)):
+            if want[i] is None:
+                assert not ok[i]
+            else:
+                assert ok[i]
+                np.testing.assert_array_equal(masks[i], want[i])
