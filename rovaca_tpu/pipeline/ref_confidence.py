@@ -141,7 +141,11 @@ def _informative_mask(rb_arr, rq_arr, rp_arr, ref_arr,
 
 def _read_layout(read):
     """Vectorized per-read layout: (match_rp, match_qo, next_is_del,
-    del_rp) arrays; insertions consume query only."""
+    del_rp) arrays; insertions consume query only. Memoized on the read —
+    layouts are region-independent and reads recur across regions."""
+    cached = getattr(read, "_layout_cache", None)
+    if cached is not None:
+        return cached
     match_rp, match_qo, del_rp = [], [], []
     next_is_del = []
     items = list(read.cigar)
@@ -171,8 +175,13 @@ def _read_layout(read):
             q += length
     cat = (lambda parts, dt: np.concatenate(parts)
            if parts else np.empty(0, dtype=dt))
-    return (cat(match_rp, np.int64), cat(match_qo, np.int64),
-            cat(next_is_del, bool), cat(del_rp, np.int64))
+    out = (cat(match_rp, np.int64), cat(match_qo, np.int64),
+           cat(next_is_del, bool), cat(del_rp, np.int64))
+    try:
+        read._layout_cache = out
+    except AttributeError:
+        pass
+    return out
 
 
 def build_position_obs(reads, ref, start, end):
@@ -190,14 +199,14 @@ def build_position_obs(reads, ref, start, end):
         ref_off = 0
     per_read = []   # [off, inb, next_del, info, bases, quals, rpl, read]
     pending = []    # indices into per_read lacking an informativeness mask
+    del_offs = []   # deletion pileup positions, flattened across reads
+    flat_hist = []  # (status*L + off)*64 + bq, flattened across reads
     for read in reads:
         rp_arr, qo_arr, next_del, del_rp = _read_layout(read)
         # deletion pileup entries
         if del_rp.size:
             doff = del_rp - start
-            doff = doff[(doff >= 0) & (doff < L)]
-            np.add.at(obs.hist, (0, doff, REF_MODEL_DELETION_QUAL), 1)
-            np.add.at(obs.depth, (0, doff), 1)
+            del_offs.append(doff[(doff >= 0) & (doff < L)])
         if rp_arr.size == 0:
             continue
         bases = np.frombuffer(read.bases, dtype=np.uint8)[qo_arr]
@@ -205,17 +214,27 @@ def build_position_obs(reads, ref, start, end):
         off = rp_arr - start
         inb = (off >= 0) & (off < L)
         rpl = rp_arr - ref_off  # window-local reference indices
-        status = np.zeros(rp_arr.size, dtype=np.int8)
-        # bool -> int8 view is zero-copy
-        status[inb] = (bases[inb] == ref_arr[rpl[inb]]).view(np.int8)
-        bq = np.minimum(quals, 63)
-        np.add.at(obs.hist, (status[inb], off[inb], bq[inb]), 1)
-        np.add.at(obs.depth, (status[inb], off[inb]), 1)
+        status = (bases[inb] == ref_arr[rpl[inb]])
+        bq = np.minimum(quals[inb], 63)
+        flat_hist.append((status * np.int64(L) + off[inb]) * 64 + bq)
         info = getattr(read, "_info_cache", None)
         entry = [off, inb, next_del, info, bases, quals, rpl, read]
         if info is None:
             pending.append(len(per_read))
         per_read.append(entry)
+
+    # one bincount per region replaces four np.add.at per read
+    if del_offs:
+        d = np.concatenate(del_offs)
+        counts = np.bincount(d, minlength=L).astype(np.int32)
+        obs.hist[0, :, REF_MODEL_DELETION_QUAL] += counts
+        obs.depth[0] += counts
+    if flat_hist:
+        flat = np.concatenate(flat_hist)
+        hist = np.bincount(flat, minlength=2 * L * 64).astype(
+            np.int32).reshape(2, L, 64)
+        obs.hist += hist
+        obs.depth += hist.sum(axis=2, dtype=np.int32)
 
     if pending:
         # one native OpenMP call for every uncached read of the region
@@ -234,6 +253,7 @@ def build_position_obs(reads, ref, start, end):
                     # the read, which recurs across overlapping regions
                     per_read[i][7]._info_cache = masks[j]
 
+    informative_offs = []
     for off, inb, next_del, info, bases, quals, rpl, read in per_read:
         if info is None:
             info = _informative_mask(bases, quals.astype(np.int64), rpl,
@@ -255,7 +275,11 @@ def build_position_obs(reads, ref, start, end):
                 info[ai] = _mismatch_qual_suffix_sums(rb, rq, ref_slice,
                                                       ai, 0)
         take = inb & info & ~next_del
-        np.add.at(obs.indel_informative, off[take], 1)
+        informative_offs.append(off[take])
+    if informative_offs:
+        flat = np.concatenate(informative_offs)
+        obs.indel_informative += np.bincount(flat, minlength=L).astype(
+            np.int32)
     return obs
 
 
