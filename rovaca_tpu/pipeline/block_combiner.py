@@ -26,9 +26,45 @@ class HomRefBlock:
         self.min_pls = list(g.pl) if g.pl else None
         self.genotype = g
 
+    @classmethod
+    def from_run(cls, contig, start, stop, ref_allele, sample, band_lo,
+                 band_hi, dps, min_pls, gq):
+        """Open a block directly from a hom-ref run's arrays."""
+        blk = cls.__new__(cls)
+        blk.contig = contig
+        blk.start = start
+        blk.stop = stop
+        blk.ref = ref_allele
+        blk.sample = sample
+        blk.band_lo = band_lo
+        blk.band_hi = band_hi
+        blk.dps = dps
+        blk.min_pls = min_pls
+
+        class _G:  # gq fallback stub (used only when min_pls is None)
+            pass
+
+        blk.genotype = _G()
+        blk.genotype.gq = gq
+        return blk
+
     def accepts(self, vc, band_lo):
         return (vc.contig == self.contig and vc.start == self.stop + 1
                 and band_lo == self.band_lo)
+
+    def accepts_run(self, contig, start, band_lo):
+        return (contig == self.contig and start == self.stop + 1
+                and band_lo == self.band_lo)
+
+    def extend_run(self, stop, dps, run_min_pls):
+        self.stop = stop
+        self.dps.extend(dps)
+        if run_min_pls is not None:
+            if self.min_pls is None:
+                self.min_pls = list(run_min_pls)
+            else:
+                self.min_pls = [min(a, b)
+                                for a, b in zip(self.min_pls, run_min_pls)]
 
     def add(self, vc):
         g = vc.genotypes[0]
@@ -100,6 +136,38 @@ class BlockCombiner:
         else:
             self._flush_block()
             self.block = HomRefBlock(vc, lo, hi)
+
+    def submit_span(self, span):
+        """Banded block merging over a HomRefSpan's arrays — equivalent to
+        per-position submit() of hom-ref records, without the objects."""
+        L = len(span)
+        if L == 0:
+            return
+        parts = np.asarray(self.partitions)
+        gq = np.clip(np.asarray(span.gq), 0, 99)
+        band_idx = np.searchsorted(parts, gq, side="right")
+        cut = np.nonzero(np.diff(band_idx))[0] + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [L]))
+        from ..genotype.variant import Allele
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            bi = int(band_idx[s])
+            lo = int(parts[bi - 1]) if bi > 0 else 0
+            hi = int(parts[bi]) if bi < parts.size else 100
+            gstart = span.start + s
+            run_min_pls = span.pls[s:e].min(axis=0).tolist()
+            dps = [int(d) for d in span.dp[s:e]]
+            if (self.block is not None
+                    and self.block.accepts_run(span.contig, gstart, lo)):
+                self.block.extend_run(gstart + (e - s) - 1, dps, run_min_pls)
+            else:
+                self._flush_block()
+                ref_allele = Allele(bytes([int(span.ref_bytes[s])]),
+                                    is_ref=True)
+                self.block = HomRefBlock.from_run(
+                    span.contig, gstart, gstart + (e - s) - 1, ref_allele,
+                    span.sample, lo, hi, dps, run_min_pls,
+                    gq=int(span.gq[s]))
 
     def _flush_block(self):
         if self.block is not None:

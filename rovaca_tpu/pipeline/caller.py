@@ -301,6 +301,7 @@ class HaplotypeCaller:
             the TPU analogue of the reference's producer/consumer overlap
             (haplotypecaller.cpp:117-146)."""
             prepared, ready_calls, ordered, w_start = pw
+            from .ref_confidence import HomRefSpan
             for key in ordered:
                 if key in ready_calls:
                     calls = ready_calls[key]
@@ -308,6 +309,21 @@ class HaplotypeCaller:
                     lik, kept = results[key]
                     calls = caller.finish_region(prepared[key], lik, kept)
                 for call in calls:
+                    if isinstance(call, HomRefSpan):
+                        # hom-ref runs stay as arrays end to end; dbSNP IDs
+                        # never survive block merging, so the lookup is
+                        # skipped (same output as the per-position path)
+                        if span and span[1] is not None:
+                            call = call.clip(span[1], span[2])
+                            if call is None:
+                                continue
+                        self.stats["calls"] += len(call)
+                        if combiner is not None:
+                            combiner.submit_span(call)
+                        else:
+                            for v in call.expand():
+                                writer.write(v)
+                        continue
                     if span and span[1] is not None and not (
                             span[1] <= call.start < span[2]):
                         continue

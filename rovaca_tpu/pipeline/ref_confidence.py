@@ -283,6 +283,55 @@ def build_position_obs(reads, ref, start, end):
     return obs
 
 
+class HomRefSpan:
+    """A contiguous run of hom-ref positions as arrays (no per-position
+    Variant objects — the block combiner consumes runs directly; materialize
+    via expand() only for debugging). Fields are per-position arrays over
+    [start, start+len)."""
+
+    __slots__ = ("contig", "start", "pls", "gq", "dp", "ref_bytes",
+                 "sample", "ploidy")
+
+    def __init__(self, contig, start, pls, gq, dp, ref_bytes, sample,
+                 ploidy=2):
+        self.contig = contig
+        self.start = start
+        self.pls = pls
+        self.gq = gq
+        self.dp = dp
+        self.ref_bytes = ref_bytes
+        self.sample = sample
+        self.ploidy = ploidy
+
+    def __len__(self):
+        return len(self.gq)
+
+    def clip(self, lo, hi):
+        """Sub-span intersecting genomic [lo, hi); None if empty."""
+        s = max(self.start, lo) - self.start
+        e = min(self.start + len(self), hi) - self.start
+        if e <= s:
+            return None
+        if s == 0 and e == len(self):
+            return self
+        return HomRefSpan(self.contig, self.start + s, self.pls[s:e],
+                          self.gq[s:e], self.dp[s:e], self.ref_bytes[s:e],
+                          self.sample, self.ploidy)
+
+    def expand(self):
+        """Per-position hom-ref Variants (debug / non-combiner sinks)."""
+        out = []
+        for i in range(len(self)):
+            ref_allele = Allele(bytes([int(self.ref_bytes[i])]), is_ref=True)
+            g = Genotype(alleles=[ref_allele] * self.ploidy,
+                         pl=self.pls[i].tolist(), gq=int(self.gq[i]),
+                         dp=int(self.dp[i]), sample=self.sample)
+            out.append(Variant(contig=self.contig, start=self.start + i,
+                               stop=self.start + i,
+                               alleles=[ref_allele, NON_REF], genotypes=[g]))
+        return out
+
+
 def reference_confidence_records(obs, ref, contig, start, calls_by_pos,
                                  ploidy=2, sample="SAMPLE"):
     """Per-position hom-ref VCs (or the overlapping real call)
@@ -321,23 +370,46 @@ def reference_confidence_records(obs, ref, contig, start, calls_by_pos,
     gq_all = np.where(use_snp, snp_gq, ind_gq)
     dp_all = obs.depth.sum(axis=0)
 
+    if isinstance(ref, np.ndarray):
+        ref_bytes_all = ref
+    else:
+        ref_bytes_all = None  # indexable (bytes / RefWindow) — slice lazily
+
+    def span_ref_bytes(p0, p1):
+        if ref_bytes_all is not None:
+            return np.asarray(ref_bytes_all[start + p0:start + p1],
+                              dtype=np.uint8)
+        return np.frombuffer(
+            bytes(ref[start + p0:start + p1]), dtype=np.uint8)
+
     out = []
     pos = 0
+    run_start = None
+
+    def close_run(end_pos):
+        if run_start is None:
+            return
+        out.append(HomRefSpan(
+            contig=contig, start=start + run_start,
+            pls=pls_all[run_start:end_pos],
+            gq=gq_all[run_start:end_pos],
+            dp=dp_all[run_start:end_pos],
+            ref_bytes=span_ref_bytes(run_start, end_pos),
+            sample=sample, ploidy=ploidy))
+
     while pos < L:
         gpos = start + pos
         call = calls_by_pos.get(gpos)
         if call is not None:
+            close_run(pos)
+            run_start = None
             out.append(call)
             pos += max(1, len(call.ref.bases))
             continue
-        ref_allele = Allele(bytes([ref[gpos]]), is_ref=True)
-        g = Genotype(alleles=[ref_allele] * ploidy,
-                     pl=pls_all[pos].tolist(), gq=int(gq_all[pos]),
-                     ad=[int(obs.depth[1, pos]), int(obs.depth[0, pos])],
-                     dp=int(dp_all[pos]), sample=sample)
-        out.append(Variant(contig=contig, start=gpos, stop=gpos,
-                           alleles=[ref_allele, NON_REF], genotypes=[g]))
+        if run_start is None:
+            run_start = pos
         pos += 1
+    close_run(min(pos, L))
     return out
 
 
