@@ -202,6 +202,107 @@ def accumulate_read(win, read, ref):
             qpos += length
 
 
+_SIMPLE_OPS = frozenset((CigarOp.M, CigarOp.EQ, CigarOp.X, CigarOp.S,
+                         CigarOp.H))
+_ALIGNED_OPS = frozenset((CigarOp.M, CigarOp.EQ, CigarOp.X))
+
+
+def _simple_layout(read):
+    """(ref_start, query_off, mlen, lead_s, trail_s) for reads whose cigar
+    is a single aligned block with optional soft/hard clips, else None."""
+    mlen = 0
+    lead_s = trail_s = False
+    qoff = 0
+    seen_aligned = False
+    for op, length in read.cigar.elements:
+        if op not in _SIMPLE_OPS:
+            return None
+        if op in _ALIGNED_OPS:
+            if seen_aligned:
+                return None
+            seen_aligned = True
+            mlen = length
+        elif op == CigarOp.S:
+            if seen_aligned:
+                trail_s = True
+            else:
+                lead_s = True
+                qoff += length
+    if not seen_aligned:
+        return None
+    return read.pos, qoff, mlen, lead_s, trail_s
+
+
+def accumulate_reads(win, reads, ref):
+    """Window-batched accumulate_read: one histogram bincount for all
+    simple-cigar reads (single aligned block, optional clips, no adaptor
+    overlap), per-read fallback for the rest. Bit-identical to calling
+    accumulate_read over every read."""
+    L = win.end - win.start
+    if isinstance(ref, (bytes, bytearray, np.ndarray)):
+        ref_arr, ref_off = np.frombuffer(bytes(ref), dtype=np.uint8), 0
+    else:  # RefWindow view
+        ref_arr, ref_off = np.frombuffer(ref.data, dtype=np.uint8), ref.offset
+
+    starts, qoffs, lens = [], [], []
+    base_parts, qual_parts = [], []
+    edge_first, edge_last = [], []   # (concat_index, read) pairs
+    n_acc = 0
+    for read in reads:
+        lay = _simple_layout(read)
+        if lay is None or (read.tlen <= 100
+                           and adaptor_boundary(read) is not None):
+            accumulate_read(win, read, ref)
+            continue
+        pos, qoff, mlen, lead_s, trail_s = lay
+        if pos + mlen <= win.start or pos >= win.end \
+                or pos - ref_off < 0 or pos + mlen - ref_off > len(ref_arr):
+            if pos + mlen <= win.start or pos >= win.end:
+                continue                     # fully outside the window
+            accumulate_read(win, read, ref)  # ref view too small: slow path
+            continue
+        starts.append(pos)
+        qoffs.append(qoff)
+        lens.append(mlen)
+        base_parts.append(np.frombuffer(read.bases, dtype=np.uint8)
+                          [qoff:qoff + mlen])
+        qual_parts.append(read.quals[qoff:qoff + mlen])
+        if lead_s:
+            edge_first.append((n_acc, read))
+        if trail_s and mlen > 1:
+            edge_last.append((n_acc + mlen - 1, read))
+        n_acc += mlen
+
+    if not starts:
+        return
+    lens_a = np.asarray(lens, dtype=np.int64)
+    starts_a = np.asarray(starts, dtype=np.int64)
+    ends = np.cumsum(lens_a)
+    row0 = ends - lens_a
+    within = np.arange(n_acc, dtype=np.int64) - np.repeat(row0, lens_a)
+    offs = np.repeat(starts_a - win.start, lens_a) + within
+    ridx = np.repeat(starts_a - ref_off, lens_a) + within
+    bases = np.concatenate(base_parts)
+    quals = np.concatenate(qual_parts)
+    variant = bases != ref_arr[ridx]
+    for idx, _ in edge_first:
+        variant[idx] = True
+    for idx, _ in edge_last:
+        variant[idx] = True
+    in_win = (offs >= 0) & (offs < L)
+    bq = np.minimum(quals.astype(np.int64), MAX_QUAL_BIN - 1)
+    # hist layout (2, L, 64): state 0 = variant evidence, 1 = reference
+    key = ((np.where(variant, 0, 1)[in_win] * L + offs[in_win])
+           * MAX_QUAL_BIN + bq[in_win])
+    win.hist += np.bincount(key, minlength=2 * L * MAX_QUAL_BIN).astype(
+        np.int32).reshape(2, L, MAX_QUAL_BIN)
+    # high-quality soft-clip stats at clip-adjacent aligned edges
+    for idx, read in edge_first + edge_last:
+        if in_win[idx] and int(quals[idx]) > MIN_BASE_QUAL:
+            win.hq_sum[offs[idx]] += high_quality_soft_clips(read)
+            win.hq_n[offs[idx]] += 1
+
+
 def compute_activity(win, ploidy=C.SAMPLE_PLOIDY):
     """Per-position non-ref posterior + smear repeat factor.
 
@@ -384,8 +485,7 @@ def find_active_regions(reads, ref, contig, start, end, emit_inactive=False,
     win = ActivityWindow(start=start, end=end,
                          hist=np.zeros((2, L, MAX_QUAL_BIN), dtype=np.int32),
                          hq_sum=np.zeros(L), hq_n=np.zeros(L, dtype=np.int64))
-    for read in reads:
-        accumulate_read(win, read, ref)
+    accumulate_reads(win, reads, ref)
     activity, repeat = compute_activity(win, ploidy)
     probs = smooth_activity(activity, repeat, target_mask)
     return cut_regions(probs, contig, start, emit_inactive, target_mask)

@@ -197,3 +197,62 @@ class TestEndToEnd:
         reads = [make_read(100, REF[100:160].decode()) for _ in range(20)]
         regions = act.find_active_regions(reads, REF, "chr1", 0, 400)
         assert regions == []
+
+
+class TestBatchedAccumulate:
+    """accumulate_reads (window-batched fast path) must be bit-identical to
+    per-read accumulate_read over randomized cigar shapes."""
+
+    def _random_reads(self, rng, n=120):
+        reads = []
+        for _ in range(n):
+            pos = int(rng.integers(0, 350))
+            mlen = int(rng.integers(1, 40))
+            kind = int(rng.integers(0, 7))
+            bases = bytearray(REF[pos:pos + mlen])
+            for _ in range(int(rng.integers(0, 3))):   # sprinkle mismatches
+                i = int(rng.integers(0, mlen))
+                bases[i] = ord("ACGT"[int(rng.integers(0, 4))])
+            quals = list(rng.integers(2, 45, size=mlen))
+            cigar = f"{mlen}M"
+            if kind == 1 and mlen > 4:                 # leading softclip
+                cigar = f"3S{mlen - 3}M"
+            elif kind == 2 and mlen > 4:               # trailing softclip
+                cigar = f"{mlen - 3}M3S"
+            elif kind == 3 and mlen > 8:               # both clips
+                cigar = f"2S{mlen - 5}M3S"
+            elif kind == 4 and mlen > 10:              # mid deletion
+                cigar = f"{mlen // 2}M2D{mlen - mlen // 2}M"
+            elif kind == 5 and mlen > 10:              # mid insertion
+                cigar = f"{mlen // 2}M2I{mlen - mlen // 2 - 2}M"
+            flag, mate_pos, tlen = 0, -1, 0
+            if kind == 6:                              # adaptor-bounded pair
+                flag = 0x1 | 0x20
+                mate_pos = pos + 5
+                tlen = 40
+            reads.append(make_read(pos, bytes(bases).decode(), quals=quals,
+                                   cigar=cigar, flag=flag, mate_pos=mate_pos,
+                                   tlen=tlen))
+        return reads
+
+    def test_matches_per_read(self):
+        rng = np.random.default_rng(7)
+        reads = self._random_reads(rng)
+        w_ref, w_new = window(), window()
+        for r in reads:
+            act.accumulate_read(w_ref, r, REF)
+        act.accumulate_reads(w_new, reads, REF)
+        np.testing.assert_array_equal(w_ref.hist, w_new.hist)
+        np.testing.assert_array_equal(w_ref.hq_n, w_new.hq_n)
+        np.testing.assert_allclose(w_ref.hq_sum, w_new.hq_sum)
+
+    def test_matches_on_refwindow_view(self):
+        from rovaca_tpu.utils.refwindow import RefWindow
+        rng = np.random.default_rng(11)
+        reads = self._random_reads(rng, n=60)
+        view = RefWindow(REF, 0)
+        w_ref, w_new = window(), window()
+        for r in reads:
+            act.accumulate_read(w_ref, r, REF)
+        act.accumulate_reads(w_new, reads, view)
+        np.testing.assert_array_equal(w_ref.hist, w_new.hist)
