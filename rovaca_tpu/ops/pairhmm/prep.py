@@ -282,18 +282,52 @@ def build_pair_batch(reads, haps, pcr_model="CONSERVATIVE",
         gap_list.append(ig)
     apply_pcr_error_model_batch(base_bytes, gap_list, pcr_model)
 
-    for idx, read in enumerate(reads):
-        g, lane = divmod(idx, READ_TILE)
-        codes, ch = prepare_read_channels(
-            base_bytes[idx], read.quals, read.mapping_quality,
-            ins_gops=gap_list[idx],
-            gcp=getattr(read, "gcp", None),
-            pcr_model="NONE",
-            min_quality_threshold=min_quality_threshold, dtype=dtype)
-        L = codes.shape[0]
-        trans[g, :L, :, lane] = ch.T
-        rbase[g, :L, lane] = codes
-        rlen[g, 0, lane] = L
+    # one concatenated channel-table pass over every read, then a single
+    # fancy-index scatter into the tiles (replaces per-read prepare calls)
+    lens = np.array([len(b) for b in base_bytes], dtype=np.int64)
+    total = int(lens.sum())
+    read_idx = np.repeat(np.arange(n_reads, dtype=np.int64), lens)
+    row0 = np.cumsum(lens) - lens
+    within = np.arange(total, dtype=np.int64) - np.repeat(row0, lens)
+
+    mq = np.repeat(np.array([r.mapping_quality for r in reads],
+                            dtype=np.int32), lens)
+    q_cat = np.minimum(np.concatenate(
+        [np.asarray(r.quals, dtype=np.int32) for r in reads]), mq)
+    q_cat = np.where(q_cat < min_quality_threshold, C.MIN_QUALITY, q_cat)
+    gi_cat = np.concatenate(gap_list).astype(np.int64) & 127
+    gc_parts = []
+    for r, bb in zip(reads, base_bytes):
+        gcp = getattr(r, "gcp", None)
+        if gcp is None:
+            gc_parts.append(np.full(len(bb), C.GAP_CONTINUATION_PHRED,
+                                    dtype=np.int64))
+        else:
+            gc_parts.append(np.asarray(gcp, dtype=np.int64) & 127)
+    gc_cat = np.concatenate(gc_parts)
+    qq_cat = q_cat.astype(np.int64) & 127
+
+    fdt = np.dtype(dtype).type
+    ph2pr = gatk_math.ph2pr_table(fdt)
+    m2m = gatk_math.match_to_match_table(fdt)
+    ch = np.empty((8, total), dtype=dtype)
+    ch[0] = m2m[gi_cat, gi_cat]
+    ch[1] = fdt(1.0) - ph2pr[gc_cat]
+    ch[2] = ph2pr[gi_cat]
+    ch[3] = ph2pr[gc_cat]
+    ch[4] = ph2pr[gi_cat]
+    ch[5] = ph2pr[gc_cat]
+    dist = ph2pr[qq_cat]
+    ch[6] = dist / fdt(3.0)
+    ch[7] = fdt(1.0) - dist
+    codes_cat = BASE_CODE[np.frombuffer(b"".join(base_bytes),
+                                        dtype=np.uint8)]
+
+    g_arr, lane_arr = np.divmod(read_idx, READ_TILE)
+    trans[g_arr, within, :, lane_arr] = ch.T
+    rbase[g_arr, within, lane_arr] = codes_cat
+    rg, rlane = np.divmod(np.arange(n_reads, dtype=np.int64), READ_TILE)
+    rlen[rg, 0, rlane] = lens
 
     for idx, h in enumerate(hap_bytes):
         g, sub = divmod(idx, HAP_TILE)

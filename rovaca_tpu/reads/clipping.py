@@ -95,6 +95,53 @@ def _rebuild(read, events, keep):
     return read.copy(bases=bases, quals=quals, cigar=cigar, pos=new_pos)
 
 
+def _sms_layout(read):
+    """(leftS, mlen, rightS) when the cigar is exactly [S] M [S] (no
+    H/I/D/N/EQ/X), else None. Such reads cover contiguous unclipped
+    positions, so every clip is a plain slice."""
+    leftS = mlen = rightS = 0
+    state = 0  # 0: expect leading S/M, 1: after M, 2: after trailing S
+    for op, length in read.cigar.elements:
+        if op == CigarOp.S:
+            if state == 0 and leftS == 0 and mlen == 0:
+                leftS = length
+            elif state == 1 and rightS == 0:
+                rightS = length
+                state = 2
+            else:
+                return None
+        elif op == CigarOp.M:
+            if mlen or state != 0:
+                return None
+            mlen = length
+            state = 1
+        else:
+            return None
+    if mlen == 0:
+        return None
+    return leftS, mlen, rightS
+
+
+def _slice_sms(read, lay, lo, hi):
+    """read[lo:hi) for an [S]M[S] read; matches _rebuild semantics."""
+    n = len(read.bases)
+    if hi <= lo:
+        return read.copy(bases=b"", quals=np.zeros(0, dtype=np.uint8),
+                         cigar=Cigar())
+    if lo == 0 and hi == n:
+        return read
+    leftS, mlen, _rightS = lay
+    nS_l = max(0, min(hi, leftS) - lo)
+    nM = max(0, min(hi, leftS + mlen) - max(lo, leftS))
+    nS_r = max(0, hi - max(lo, leftS + mlen))
+    elems = [(op, ln) for op, ln in
+             ((CigarOp.S, nS_l), (CigarOp.M, nM), (CigarOp.S, nS_r)) if ln]
+    new_pos = read.pos + max(lo, leftS) - leftS if nM else read.pos
+    return read.copy(bases=read.bases[lo:hi],
+                     quals=np.asarray(read.quals)[lo:hi].copy(),
+                     cigar=Cigar.from_raw(elems).normalized(), pos=new_pos)
+
+
 def revert_soft_clips(read):
     """Turn soft clips back into matches, shifting pos left for leading clips
     (hc_assemble_utils_revert_soft_clip)."""
@@ -150,6 +197,9 @@ def clip_low_qual_ends(read, threshold=MIN_TAIL_QUALITY):
     if clip_end <= clip_start:
         return read.copy(bases=b"", quals=np.zeros(0, dtype=np.uint8),
                          cigar=Cigar())
+    lay = _sms_layout(read)
+    if lay is not None:
+        return _slice_sms(read, lay, clip_start, clip_end + 1)
     events = _explode(read)
     keep = np.arange(clip_start, clip_end + 1)
     return _rebuild(read, events, keep)
@@ -159,6 +209,14 @@ def hard_clip_to_region(read, region_start, region_end):
     """Keep only query bases aligned within [region_start, region_end]
     (0-based inclusive; hc_assemble_utils_hard_clip_to_region). Insertions
     attach to their left neighbor's position."""
+    lay = _sms_layout(read)
+    if lay is not None:
+        leftS, _mlen, _rightS = lay
+        u0 = read.pos - leftS
+        n = len(read.bases)
+        lo = max(0, region_start - u0)
+        hi = min(n, region_end + 1 - u0)
+        return _slice_sms(read, lay, lo, hi)
     events = _explode(read)
     ref, _sc = events
     n = ref.size

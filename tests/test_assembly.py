@@ -393,3 +393,74 @@ class TestSeqGraphSimplify:
         haps = assembler.assemble_region(reads, ref, 1000)
         seqs = {h.bases for h in haps}
         assert ref.encode() in seqs and alt.encode() in seqs
+
+
+class TestSliceFastPathEquivalence:
+    """The [S]M[S] slice fast path in clipping must match the event-array
+    (explode/rebuild) path exactly."""
+
+    def _event_clip_to_region(self, read, region_start, region_end):
+        events = clipping._explode(read)
+        ref, _sc = events
+        n = ref.size
+        is_ins = ref == clipping._INS
+        idx = np.arange(n)
+        last_real = np.maximum.accumulate(np.where(is_ins, -1, idx))
+        anchor = np.where(
+            is_ins,
+            np.where(last_real >= 0, ref[np.maximum(last_real, 0)],
+                     np.int64(read.pos - 1)),
+            ref)
+        keep = np.nonzero((anchor >= region_start) & (anchor <= region_end))[0]
+        if keep.size == n:
+            return read
+        return clipping._rebuild(read, events, keep)
+
+    def _assert_same(self, a, b):
+        assert a.pos == b.pos
+        assert a.bases == b.bases
+        np.testing.assert_array_equal(np.asarray(a.quals),
+                                      np.asarray(b.quals))
+        assert list(a.cigar.elements) == list(b.cigar.elements)
+
+    def test_randomized_sms_reads(self):
+        rng = np.random.default_rng(13)
+        for _ in range(300):
+            mlen = int(rng.integers(1, 30))
+            ls = int(rng.integers(0, 5))
+            rs = int(rng.integers(0, 5))
+            n = ls + mlen + rs
+            pos = int(rng.integers(4, 60))
+            cig = (f"{ls}S" if ls else "") + f"{mlen}M" + (f"{rs}S" if rs else "")
+            r = make_read(pos, "".join(rng.choice(list("ACGT"), size=n)),
+                          quals=list(rng.integers(2, 40, size=n)), cigar=cig)
+            start = int(rng.integers(0, 70))
+            end = start + int(rng.integers(0, 50))
+            fast = clipping.hard_clip_to_region(r, start, end)
+            slow = self._event_clip_to_region(r, start, end)
+            self._assert_same(fast, slow)
+
+    def test_low_qual_ends_matches_event_path(self):
+        rng = np.random.default_rng(17)
+        for _ in range(200):
+            mlen = int(rng.integers(2, 25))
+            ls = int(rng.integers(0, 4))
+            n = ls + mlen
+            cig = (f"{ls}S" if ls else "") + f"{mlen}M"
+            quals = list(rng.integers(0, 25, size=n))
+            r = make_read(20, "".join(rng.choice(list("ACGT"), size=n)),
+                          quals=quals, cigar=cig)
+            out = clipping.clip_low_qual_ends(r)
+            # reference: event-path on a copy forced through explode/rebuild
+            q = np.asarray(quals)
+            good = q > clipping.MIN_TAIL_QUALITY
+            if not good.any() or len(out.bases) == 0:
+                assert len(out.bases) == 0 or good.any()
+                continue
+            cs = int(np.argmax(good))
+            ce = n - 1 - int(np.argmax(good[::-1]))
+            slow = clipping._rebuild(r, clipping._explode(r),
+                                     np.arange(cs, ce + 1))
+            if cs == 0 and ce == n - 1:
+                slow = r
+            self._assert_same(out, slow)
