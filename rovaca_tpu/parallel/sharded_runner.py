@@ -43,6 +43,21 @@ def run_sharded(cli_args, n_shards, output_path, parallel=True):
         cli_args[cli_args.index("--reference") + 1]
     shards = compute_shards(ref, n_shards)
 
+    # index every input BAM once up front so each shard's -L becomes an
+    # indexed seek instead of a whole-file scan (the reference hands each
+    # worker an hts_itr over the shared index; here the .bai is the shared
+    # structure and shard processes open it read-only)
+    for flag in ("-i", "--input"):
+        for k, a in enumerate(cli_args):
+            if a == flag and k + 1 < len(cli_args):
+                bam = cli_args[k + 1]
+                if not os.path.exists(bam + ".bai"):
+                    from ..io.bai import build_index
+                    try:
+                        build_index(bam)
+                    except (ValueError, OSError):
+                        pass  # unindexable input: shards fall back to scans
+
     procs = []
     shard_files = []
     for si, shard in enumerate(shards):
