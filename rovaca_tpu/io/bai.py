@@ -12,6 +12,7 @@ offset packs (compressed block offset << 16 | offset within decompressed
 block).
 """
 
+import os
 import struct
 import zlib
 
@@ -123,8 +124,19 @@ class BaiIndex:
             out += struct.pack("<i", len(linear))
             out += struct.pack(f"<{len(linear)}Q", *linear)
         out += struct.pack("<Q", self.n_no_coor)
-        with open(path, "wb") as fh:
-            fh.write(out)
+        # write-then-rename so a crash or disk-full mid-write never leaves a
+        # truncated index that later runs would trust (os.path.exists guards)
+        tmp = path + ".tmp"
+        try:
+            with open(tmp, "wb") as fh:
+                fh.write(out)
+            os.replace(tmp, path)
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
 
 
 # --- raw BGZF block walking -------------------------------------------------

@@ -51,8 +51,8 @@ def run_sharded(cli_args, n_shards, output_path, parallel=True):
         for k, a in enumerate(cli_args):
             if a == flag and k + 1 < len(cli_args):
                 bam = cli_args[k + 1]
-                if not os.path.exists(bam + ".bai"):
-                    from ..io.bai import build_index
+                from ..io.bai import build_index, find_index
+                if find_index(bam) is None:
                     try:
                         build_index(bam)
                     except (ValueError, OSError):

@@ -171,9 +171,23 @@ def accumulate_read(win, read, ref):
             else:
                 bq = np.minimum(quals[qpos:qpos + length].astype(np.int64),
                                 MAX_QUAL_BIN - 1)
-                refslice = np.frombuffer(
-                    ref[pos:pos + length], dtype=np.uint8)
-                variant = rbases[qpos:qpos + length] != refslice
+                # clamp the ref fetch to the view: a RefWindow may not cover
+                # the read's full span, but positions outside the view are
+                # also outside the activity window in every pipeline use
+                # (views carry >=600bp margin vs the <=~150bp read overhang),
+                # so masking them out of in_win preserves the histogram
+                vlo = getattr(ref, "offset", 0)
+                clo = max(pos, vlo)
+                refslice = np.frombuffer(ref[clo:max(clo, pos + length)],
+                                         dtype=np.uint8)
+                chi = clo + len(refslice)
+                variant = np.ones(length, dtype=bool)
+                variant[clo - pos:chi - pos] = (
+                    rbases[qpos + clo - pos:qpos + chi - pos] != refslice)
+                if clo > pos or chi < pos + length:
+                    covered = (offs + win.start >= clo) & \
+                              (offs + win.start < chi)
+                    in_win &= covered
                 # edge rules exactly as HcActiveBase.cpp:158-186
                 hq_first = prev_op == CigarOp.S
                 hq_last = length > 1 and next_op == CigarOp.S

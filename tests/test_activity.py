@@ -247,12 +247,28 @@ class TestBatchedAccumulate:
         np.testing.assert_allclose(w_ref.hq_sum, w_new.hq_sum)
 
     def test_matches_on_refwindow_view(self):
+        # nonzero view offset: exercises the ridx = starts - ref_off
+        # arithmetic and (via reads starting before / ending after the
+        # view) the too-small-view fallback branch in accumulate_reads.
+        # Window [120,358) sits well inside view [50,360), so every
+        # in-window base is ref-covered and the result must be identical
+        # to the full-contig per-read baseline.
         from rovaca_tpu.utils.refwindow import RefWindow
         rng = np.random.default_rng(11)
         reads = self._random_reads(rng, n=60)
-        view = RefWindow(REF, 0)
-        w_ref, w_new = window(), window()
+        # straddle the view start (fallback: pos - ref_off < 0)
+        reads.append(make_read(45, REF[45:95].decode(),
+                               quals=list(rng.integers(2, 45, size=50)),
+                               cigar="50M"))
+        # extend past the view end (fallback: pos + mlen > view end)
+        reads.append(make_read(330, REF[330:375].decode(),
+                               quals=list(rng.integers(2, 45, size=45)),
+                               cigar="45M"))
+        view = RefWindow(REF[50:360], 50)
+        w_ref, w_new = window(120, 358), window(120, 358)
         for r in reads:
             act.accumulate_read(w_ref, r, REF)
         act.accumulate_reads(w_new, reads, view)
         np.testing.assert_array_equal(w_ref.hist, w_new.hist)
+        np.testing.assert_array_equal(w_ref.hq_n, w_new.hq_n)
+        np.testing.assert_allclose(w_ref.hq_sum, w_new.hq_sum)

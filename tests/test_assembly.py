@@ -454,13 +454,53 @@ class TestSliceFastPathEquivalence:
             # reference: event-path on a copy forced through explode/rebuild
             q = np.asarray(quals)
             good = q > clipping.MIN_TAIL_QUALITY
-            if not good.any() or len(out.bases) == 0:
-                assert len(out.bases) == 0 or good.any()
+            if not good.any():
+                # no base survives the tail-quality cut: the read must be
+                # fully clipped (empty), not merely unchanged
+                assert len(out.bases) == 0
                 continue
             cs = int(np.argmax(good))
             ce = n - 1 - int(np.argmax(good[::-1]))
+            if ce <= cs:
+                # reference quirk (hc_assemble_utils.c:238-241): when the
+                # surviving span is a single base (clip_end <= clip_start)
+                # the read is fully clipped, good base and all
+                assert len(out.bases) == 0
+                continue
+            assert len(out.bases) > 0, \
+                f"fully clipped despite good span (quals={quals}, cig={cig})"
             slow = clipping._rebuild(r, clipping._explode(r),
                                      np.arange(cs, ce + 1))
             if cs == 0 and ce == n - 1:
                 slow = r
             self._assert_same(out, slow)
+
+
+class TestKBestCap:
+    def test_result_cap_matches_reference_129(self):
+        """The reference's dijkstra loop runs `while result_size <= 128`
+        (hc_assemble_dijkstra_shortest_path.c:22,53), i.e. it collects up to
+        *129* paths before stopping, and no later truncation exists in
+        hc_assemble_seq_path_finder.c. Pin find_k_best_haplotypes to the
+        same semantics with a diamond-chain graph of 2^8 = 256 paths."""
+        from rovaca_tpu.assembly.graph import SeqGraph, find_k_best_haplotypes
+        sg = SeqGraph()
+        prev = sg.add_vertex(b"S")
+        sg.ref_source = prev
+        for i in range(8):
+            a = sg.add_vertex(b"A")
+            b = sg.add_vertex(b"C")
+            join = sg.add_vertex(b"G")
+            sg.add_edge(prev, a, multiplicity=2, is_ref=True)
+            sg.add_edge(prev, b, multiplicity=1)
+            sg.add_edge(a, join, multiplicity=2, is_ref=True)
+            sg.add_edge(b, join, multiplicity=1)
+            prev = join
+        sg.ref_sink = prev
+        paths = find_k_best_haplotypes(sg)
+        assert len(paths) == 129
+        # best-first by log10 edge-frequency score
+        scores = [p[1] for p in paths]
+        assert scores == sorted(scores, reverse=True)
+        # the all-ref path is the single best one
+        assert paths[0][2] is True
