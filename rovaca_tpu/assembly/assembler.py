@@ -234,7 +234,11 @@ def assemble_region(reads, ref_window, window_start,
         haplotypes.append(Haplotype(bases=seq, is_ref=False, score=score,
                                     cigar=cigar, window_start=window_start,
                                     kmer_size=k))
-    return haplotypes[:MAX_HAPLOTYPES]
+    # no final cap: the reference's 128-limit lives inside the per-kmer
+    # K-best search (collect <=129, hc_assemble_dijkstra_shortest_path.c:53);
+    # the cross-kmer merged set is emitted whole (fake_assembler output
+    # shows 130-hap regions) — verified by the golden assembly diff
+    return haplotypes
 
 
 def _merge_paths(results, paths, kmer_size):

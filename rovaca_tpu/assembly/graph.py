@@ -139,6 +139,21 @@ class ReadThreadingGraph:
             if start is None:
                 return
         v = self._get_or_create(seq[start:start + k])
+        # propagate support backwards from the threading start: edges into
+        # the starting vertex whose chain spells the starting kmer get +1
+        # (hc_assemble_graph_increase_counts_in_matched_kmers,
+        # hc_assemble_read_threading_graph.c:187-208; GATK
+        # increaseCountsInMatchedKmers). Without this, reads whose first
+        # unique kmer lands mid-chain leave weight-1 dips that break the
+        # dangling-end LCA walk's prune-factor reset.
+        kmer0 = seq[start:start + k]
+        cur, off = v, k - 2
+        while off >= 0 and cur.in_degree == 1:
+            (prev, edge) = next(iter(cur.in_edges.items()))
+            if prev.kmer[-1] != kmer0[off]:
+                break
+            edge.multiplicity += 1
+            cur, off = prev, off - 1
         if is_ref:
             self.ref_source = v
         for i in range(start + 1, len(seq) - k + 1):
@@ -838,13 +853,26 @@ def find_k_best_haplotypes(graph, max_haplotypes=MAX_HAPLOTYPES):
     if source is None or sink is None:
         return []
 
-    counter = itertools.count()
     results = []
     visit_count = {}
-    # heap entries: (-score, seq, tiebreak, last_vertex, is_ref_path)
-    heap = [(0.0, source.seq, next(counter), source, True)]
+    # tie-break on equal score matches the reference's rbtree comparator
+    # (hc_assemble_dijkstra_compare_edge_path): lexicographically LARGER
+    # partial sequence pops first, and on a shared prefix the LONGER path
+    # wins. Encode that as ascending order of the byte-inverted sequence
+    # plus a 0xFF sentinel (greater than any inverted base, so a prefix
+    # sorts after its extensions).
+    def invkey(seq):
+        return bytes(255 - b for b in seq) + b"\xff"
+
+    counter = itertools.count(0, -1)  # LIFO among exactly-equal keys: the
+    # reference's rbtree inserts equal-comparing nodes to the LEFT
+    # (hc_assemble_dijkstra_shortest_path.c:398-403), so the newest of an
+    # exactly-tied pair pops first
+    # heap entries: (-score, invkey(seq), tiebreak, seq, vertex, is_ref_path)
+    heap = [(0.0, invkey(source.seq), next(counter), source.seq, source,
+             True)]
     while heap and len(results) <= max_haplotypes:
-        neg_score, seq, _, v, is_ref = heapq.heappop(heap)
+        neg_score, _, _, seq, v, is_ref = heapq.heappop(heap)
         if v is sink:
             results.append((seq, -neg_score, is_ref))
             continue
@@ -857,6 +885,8 @@ def find_k_best_haplotypes(graph, max_haplotypes=MAX_HAPLOTYPES):
             continue
         for w, e in v.out_edges.items():
             penalty = (math.log10(e.multiplicity) - math.log10(total_out))
-            heapq.heappush(heap, (neg_score - penalty, seq + w.seq,
-                                  next(counter), w, is_ref and e.is_ref))
+            nseq = seq + w.seq
+            heapq.heappush(heap, (neg_score - penalty, invkey(nseq),
+                                  next(counter), nseq, w,
+                                  is_ref and e.is_ref))
     return results
