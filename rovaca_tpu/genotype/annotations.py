@@ -139,8 +139,12 @@ def rms_mapping_quality(likelihoods, raw=False):
     return math.sqrt(sum_sq / mqs.size)
 
 
-def _strand_table(variant, likelihoods):
-    """2x2 [ [refFwd, refRev], [altFwd, altRev] ] over informative reads."""
+def _strand_table(variant, likelihoods, min_count=0):
+    """2x2 [ [refFwd, refRev], [altFwd, altRev] ] over informative reads.
+
+    `min_count` is the per-sample gate (strand_bias_test.cpp:53-57,76-78):
+    a sample whose four cells total <= min_count contributes nothing.
+    FisherStrand passes 2, StrandOddsRatio 0."""
     best_idx, informative = classify_reads(likelihoods)
     table = np.zeros((2, 2), dtype=np.int64)
     for r, read in enumerate(likelihoods.reads):
@@ -153,18 +157,135 @@ def _strand_table(variant, likelihoods):
         row = 0 if a == 0 else 1
         col = 1 if read.is_reverse else 0
         table[row, col] += 1
+    if table.sum() <= min_count:
+        table[:] = 0
     return table
 
 
+# --- exact Fisher test via saddle-point binomial log-pmf --------------------
+# Clean-room implementation of the reference's hypergeometric machinery
+# (utils/saddle_point_expansion.cpp, hypergeometric_distribution.cpp, both
+# commons-math style) so FS matches the binary bit-for-bit at any depth with
+# no scipy dependency.
+
+_HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
+# exact Stirling errors for z = 0, 0.5, ..., 15 (saddle_point_expansion.cpp)
+_EXACT_STIRLING = (
+    0.0, 0.1534264097200273452913848, 0.0810614667953272582196702,
+    0.0548141210519176538961390, 0.0413406959554092940938221,
+    0.03316287351993628748511048, 0.02767792568499833914878929,
+    0.02374616365629749597132920, 0.02079067210376509311152277,
+    0.01848845053267318523077934, 0.01664469118982119216319487,
+    0.01513497322191737887351255, 0.01387612882307074799874573,
+    0.01281046524292022692424986, 0.01189670994589177009505572,
+    0.01110455975820691732662991, 0.010411265261972096497478567,
+    0.009799416126158803298389475, 0.009255462182712732917728637,
+    0.008768700134139385462952823, 0.008330563433362871256469318,
+    0.007934114564314020547248100, 0.007573675487951840794972024,
+    0.007244554301320383179543912, 0.006942840107209529865664152,
+    0.006665247032707682442354394, 0.006408994188004207068439631,
+    0.006171712263039457647532867, 0.005951370112758847735624416,
+    0.005746216513010115682023589, 0.005554733551962801371038690)
+
+
+def _stirling_error(z):
+    if z < 15.0:
+        z2 = 2.0 * z
+        if math.floor(z2) == z2:
+            return _EXACT_STIRLING[int(z2)]
+        return (math.lgamma(z + 1.0) - (z + 0.5) * math.log(z) + z
+                - _HALF_LOG_2PI)
+    z2 = z * z
+    return (0.083333333333333333333 -
+            (0.00277777777777777777778 -
+             (0.00079365079365079365079365 -
+              (0.000595238095238095238095238 -
+               0.0008417508417508417508417508 / z2) / z2) / z2) / z2) / z
+
+
+def _deviance_part(x, mu):
+    if abs(x - mu) < 0.1 * (x + mu):
+        d = x - mu
+        v = d / (x + mu)
+        s1 = v * d
+        s = None
+        ej = 2.0 * x * v
+        v *= v
+        j = 1
+        while s1 != s:
+            s = s1
+            ej *= v
+            s1 = s + ej / (j * 2 + 1)
+            j += 1
+        return s1
+    return x * math.log(x / mu) + mu - x
+
+
+def _log_binomial_probability(x, n, p, q):
+    if x == 0:
+        if p < 0.1:
+            return -_deviance_part(n, n * q) - n * p
+        return n * math.log(q)
+    if x == n:
+        if q < 0.1:
+            return -_deviance_part(n, n * p) - n * q
+        return n * math.log(p)
+    ret = (_stirling_error(n) - _stirling_error(x) - _stirling_error(n - x)
+           - _deviance_part(x, n * p) - _deviance_part(n - x, n * q))
+    f = (2.0 * math.pi * x * (n - x)) / n
+    return -0.5 * math.log(f) + ret
+
+
+def _hypergeom_log_pmf(x, population, successes, sample):
+    lo = max(0, sample - (population - successes))
+    hi = min(sample, successes)
+    if x < lo or x > hi:
+        return -math.inf
+    p = sample / population
+    q = (population - sample) / population
+    return (_log_binomial_probability(x, successes, p, q)
+            + _log_binomial_probability(sample - x, population - successes,
+                                        p, q)
+            - _log_binomial_probability(sample, population, p, q))
+
+
+_FS_TARGET_TABLE_SIZE = 200    # fisher_strand.cpp:15
+_FS_REL_ERR = 1 - 10e-7        # fisher_strand.cpp:13
+_MIN_LOG10_SCALED_QUAL = math.log10(4.9e-324)  # quality_utils.cpp:11
+
+
+def _fisher_two_sided_pvalue(table):
+    """Two-sided Fisher exact p exactly as fisher_strand.cpp:35-63: sum of
+    hypergeometric probabilities whose log-pmf <= log-pmf(observed) scaled
+    by (1 - 1e-6), accumulated in log10 space."""
+    m = int(table[0, 0] + table[0, 1])
+    n = int(table[1, 0] + table[1, 1])
+    k = int(table[0, 0] + table[1, 0])
+    lo, hi = max(0, k - n), min(k, m)
+    if hi - lo + 1 <= 1:
+        return 1.0
+    logds = [_hypergeom_log_pmf(i, m + n, m, k) for i in range(lo, hi + 1)]
+    threshold = logds[int(table[0, 0]) - lo] * _FS_REL_ERR
+    log10ds = np.array([d for d in logds if d <= threshold]) / math.log(10.0)
+    if log10ds.size == 0:
+        return 1.0
+    mx = log10ds.max()
+    p = float(10.0 ** mx * np.sum(10.0 ** (log10ds - mx)))
+    return min(1.0, p)
+
+
 def fisher_strand(variant, likelihoods):
-    """FS: phred-scaled two-sided Fisher exact p on the strand table."""
-    from scipy.stats import fisher_exact
-    table = _strand_table(variant, likelihoods)
-    if table.sum() == 0:
-        return 0.0
-    _, p = fisher_exact(table)
-    p = max(min(p, 1.0), 1e-320)
-    return round(-10.0 * math.log10(p), 3)
+    """FS: phred-scaled two-sided Fisher exact p on the strand table
+    (fisher_strand.cpp:21-85; saddle-point hypergeometric, table normalized
+    to ~200 entries at high depth, per-sample min-count 2)."""
+    table = _strand_table(variant, likelihoods, min_count=2)
+    total = int(table.sum())
+    if total > _FS_TARGET_TABLE_SIZE * 2:
+        norm = total / _FS_TARGET_TABLE_SIZE
+        table = (table / norm).astype(np.int64)
+    p = _fisher_two_sided_pvalue(table)
+    log10p = math.log10(max(p, 1e-320))
+    return round(abs(-10.0 * max(log10p, _MIN_LOG10_SCALED_QUAL)), 3)
 
 
 def strand_odds_ratio(variant, likelihoods):
@@ -221,9 +342,32 @@ def _mann_whitney_z(alt_values, ref_values):
     else:
         p = _mwu_permutation_p(ranks, n1, n2, u1)
         # inverse normal CDF (mann_whitney_u.cpp:27-30)
-        from scipy.special import erfinv
-        z = math.sqrt(2.0) * float(erfinv(2.0 * p - 1.0))
+        z = math.sqrt(2.0) * _erf_inv(2.0 * p - 1.0)
     return round(z, 3)
+
+
+def _erf_inv(y):
+    """Inverse error function: Winitzki initial guess + Newton refinement
+    against math.erf (~1e-15 over (-1,1); the reference delegates to
+    boost::math::erf_inv, mann_whitney_u.cpp:29)."""
+    if y <= -1.0:
+        return -math.inf
+    if y >= 1.0:
+        return math.inf
+    if y == 0.0:
+        return 0.0
+    a = 0.147
+    ln1my2 = math.log(1.0 - y * y)
+    t1 = 2.0 / (math.pi * a) + ln1my2 / 2.0
+    x = math.copysign(math.sqrt(math.sqrt(t1 * t1 - ln1my2 / a) - t1), y)
+    two_over_sqrtpi = 2.0 / math.sqrt(math.pi)
+    for _ in range(3):
+        err = math.erf(x) - y
+        deriv = two_over_sqrtpi * math.exp(-x * x)
+        if deriv == 0.0:
+            break
+        x -= err / deriv
+    return x
 
 
 def _mwu_z_normal(u, n1, n2, nties):
