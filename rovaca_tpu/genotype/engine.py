@@ -59,11 +59,14 @@ class GermlineGenotypingEngine:
 
     # ------------------------------------------------------------------
     def assign_genotype_likelihoods(self, hap_likelihoods, ref, ref_start,
-                                    active_start, active_stop):
+                                    active_start, active_stop,
+                                    filtered_reads=()):
         """hap_likelihoods: AlleleLikelihoods over (haplotypes x reads);
         ref: padded window bytes at genome pos ref_start; active region
-        [active_start, active_stop] inclusive. Returns (calls,
-        called_haplotypes)."""
+        [active_start, active_stop] inclusive. `filtered_reads` are the
+        non-passing reads fed back into annotation DP/AD with 0.0
+        likelihood (germline_genotying_engine.cpp:606-641). Returns
+        (calls, called_haplotypes)."""
         args = self.args
         haplotypes = hap_likelihoods.alleles
         starts = event_map.build_event_maps_for_haplotypes(
@@ -122,7 +125,8 @@ class GermlineGenotypingEngine:
                     if h not in called_haplotypes:
                         called_haplotypes.append(h)
 
-            anno_lik = self._annotation_likelihoods(ra_lik, call)
+            anno_lik = self._annotation_likelihoods(
+                ra_lik, call, filtered_reads, overlap_start, overlap_stop)
             annotations.annotate_variant(call, anno_lik,
                                          gvcf_mode=args.gvcf_mode)
             calls.append(call)
@@ -144,10 +148,15 @@ class GermlineGenotypingEngine:
                         log10_likelihoods=list(gls),
                         sample=self.args.sample_name)
 
-    def _annotation_likelihoods(self, ra_lik, call):
-        """Subset likelihoods to the call's alleles for annotation
-        (prepare_read_allele_likelihoods_for_annotation, simplified: no
-        filtered-read augmentation)."""
+    def _annotation_likelihoods(self, ra_lik, call, filtered_reads=(),
+                                overlap_start=None, overlap_stop=None):
+        """Subset likelihoods to the call's alleles for annotation, then
+        append filtered (non-passing) reads overlapping the variant-calling
+        interval with 0.0 likelihood for every allele so depth annotations
+        see them (prepare_read_allele_likelihoods_for_annotation +
+        overlapping_filtered_reads + add_evidence,
+        germline_genotying_engine.cpp:606-663,
+        allele_likelihoods.hpp:328-344)."""
         keep = []
         for a in call.alleles:
             try:
@@ -156,10 +165,17 @@ class GermlineGenotypingEngine:
                 keep.append(None)
         rows = [ra_lik.matrix[i] if i is not None
                 else np.full(ra_lik.n_reads, -np.inf) for i in keep]
+        reads = list(ra_lik.reads)
+        matrix = np.array(rows) if rows else ra_lik.matrix[:0]
+        extra = [r for r in filtered_reads
+                 if overlap_start is None
+                 or r.overlaps(overlap_start, overlap_stop + 1)]
+        if extra and len(matrix):
+            matrix = np.concatenate(
+                [matrix, np.zeros((matrix.shape[0], len(extra)))], axis=1)
+            reads += extra
         from .likelihoods import AlleleLikelihoods
-        return AlleleLikelihoods(list(call.alleles), list(ra_lik.reads),
-                                 np.array(rows) if rows
-                                 else ra_lik.matrix[:0])
+        return AlleleLikelihoods(list(call.alleles), reads, matrix)
 
     # ------------------------------------------------------------------
     def calculate_genotypes(self, vc):

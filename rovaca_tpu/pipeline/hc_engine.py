@@ -16,7 +16,10 @@ from ..assembly import assembler
 from ..genotype.engine import GenotypingArgs, GermlineGenotypingEngine
 from ..genotype.likelihoods import AlleleLikelihoods
 from ..ops import pairhmm
+from ..reads.cigar import CigarOp
 from . import trimming
+
+READ_LENGTH_FILTER_THRESHOLD = 10  # haplotypecaller_engine.cpp:31
 
 
 @dataclasses.dataclass
@@ -31,6 +34,7 @@ class PreparedRegion:
     span: tuple
     variant_span: tuple
     contig_length: int = 1 << 60
+    filtered_reads: tuple = ()  # non-passing reads kept for DP/AD annotation
 
 
 @dataclasses.dataclass
@@ -112,8 +116,26 @@ class RegionCaller:
                                                        contig)
             return []
         call_reads = trimming.trim_reads(fin, span_start, span_stop)
-        call_reads = [r for r in call_reads
-                      if r.mapping_quality >= cfg.mapping_quality_threshold]
+        # filter_non_passing_reads (haplotypecaller_engine.cpp:419-437):
+        # short, low-MQ, or mate-on-other-contig reads leave the calling
+        # set but are fed back into the annotation likelihoods with 0.0
+        # likelihood so DP reflects them
+        # (prepare_read_allele_likelihoods_for_annotation,
+        # germline_genotying_engine.cpp:606-641)
+        passing, filtered = [], []
+        for r in call_reads:
+            softclips = sum(n for op, n in r.cigar.elements
+                            if op == CigarOp.S)
+            aligned_len = len(r.bases) - softclips
+            mate_ok = (not r.is_paired or r.is_unmapped
+                       or r.ref_id == r.mate_ref_id)
+            if (aligned_len < READ_LENGTH_FILTER_THRESHOLD
+                    or r.mapping_quality < cfg.mapping_quality_threshold
+                    or not mate_ok):
+                filtered.append(r)
+            else:
+                passing.append(r)
+        call_reads = passing
         if not call_reads:
             return []
 
@@ -128,7 +150,8 @@ class RegionCaller:
                               call_reads=call_reads, span=(span_start,
                                                            span_stop),
                               variant_span=(var_start, var_stop),
-                              contig_length=contig_len)
+                              contig_length=contig_len,
+                              filtered_reads=tuple(filtered))
 
     def finish_region(self, prepared, lik_matrix, kept):
         """Genotype a scored region."""
@@ -150,7 +173,8 @@ class RegionCaller:
         var_start, var_stop = p.variant_span
         trimmed_window = bytes(p.ref[span_start:span_stop + 1])
         calls, called_haps = self.genotyping.assign_genotype_likelihoods(
-            hap_lik, trimmed_window, span_start, var_start, var_stop)
+            hap_lik, trimmed_window, span_start, var_start, var_stop,
+            filtered_reads=p.filtered_reads)
         for c in calls:
             c.contig = p.contig
 

@@ -270,6 +270,30 @@ class TestEngine:
                                                    129)
         assert calls == []
 
+    def test_filtered_reads_augment_depth(self):
+        # filtered (non-passing) reads overlapping the call are appended to
+        # the annotation likelihoods with 0.0 likelihood: DP counts them,
+        # AD does not (they are uninformative)
+        # (germline_genotying_engine.cpp:606-663)
+        alt = bytearray(self.REF)
+        alt[15] = ord("C") if alt[15] != ord("C") else ord("G")
+        eng, lik = _engine_case(self.REF, bytes(alt), "30M")
+        extra = [make_read(100, 30, name=f"fx{i}") for i in range(5)]
+        base_calls, _ = eng.assign_genotype_likelihoods(
+            lik, self.REF, 100, 100, 129)
+        calls, _ = eng.assign_genotype_likelihoods(
+            lik, self.REF, 100, 100, 129, filtered_reads=extra)
+        assert len(calls) == 1
+        dp0 = base_calls[0].attributes["DP"]
+        dp1 = calls[0].attributes["DP"]
+        assert dp1 == dp0 + 5
+        assert calls[0].genotypes[0].ad == base_calls[0].genotypes[0].ad
+        # a filtered read outside the overlap window contributes nothing
+        far = [make_read(400, 30, name="far")]
+        calls2, _ = eng.assign_genotype_likelihoods(
+            lik, self.REF, 100, 100, 129, filtered_reads=far)
+        assert calls2[0].attributes["DP"] == dp0
+
     def test_gvcf_adds_non_ref(self):
         alt = bytearray(self.REF)
         alt[15] = ord("C") if alt[15] != ord("C") else ord("G")
