@@ -2,12 +2,17 @@
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: rovaca_tpu/native/pairhmm_avx_bench.c — an independent
-implementation of the reference's 16-lane AVX512 float PairHMM scheme
-(reference: src/haplotypecaller/pairhmm/rovaca/avx_512_float.cc), measured
-per-core on this host and scaled by the reference's default worker count of
-30 threads (rovaca_tool_args.h:138) as the socket proxy. Override with
-ROVACA_BASELINE_GCUPS.
+Baseline resolution order:
+1. ROVACA_BASELINE_GCUPS env override.
+2. The REAL reference engine: .refbuild/bin/pairhmm_harness (the
+   reference's own rovaca::call_pairhmm, built from /root/reference with a
+   clean-room htslib shim) timed on tests/golden/pairhmm_cases.txt,
+   single-thread, then scaled by the reference's default worker count of
+   30 threads (rovaca_tool_args.h:138) as the socket proxy.
+3. BASELINE_MEASURED.json — the number from (2) recorded the last time the
+   harness binary existed on this machine (1.554 Gcells/s/core).
+4. rovaca_tpu/native/pairhmm_avx_bench.c — an independent reimplementation
+   of the 16-lane AVX512 scheme, as a last-resort proxy.
 
 Cell counts are EFFECTIVE cells (sum of readLen x hapLen over real pairs) —
 the TPU kernel's data-dependent loop bounds skip padding, so padded counts
@@ -31,6 +36,35 @@ import time
 import numpy as np
 
 BASELINE_THREADS = 30
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def measure_reference_engine_baseline():
+    """Per-core Gcells/s of the actual reference engine x BASELINE_THREADS,
+    or None if the harness binary / corpus is unavailable."""
+    harness = os.path.join(_HERE, ".refbuild", "bin", "pairhmm_harness")
+    cases = os.path.join(_HERE, "tests", "golden", "pairhmm_cases.txt")
+    if os.path.exists(harness) and os.path.exists(cases):
+        try:
+            r = subprocess.run(
+                [harness, cases, "/tmp/rovaca_bench_ref_out.txt", "3", "20"],
+                capture_output=True, text=True, timeout=560, check=True)
+            for line in r.stderr.splitlines():
+                if line.startswith("BENCH"):
+                    gcups = float(line.rsplit("gcups=", 1)[1])
+                    return gcups * 1e9 * BASELINE_THREADS
+        except Exception:
+            pass
+    # fall back to the recorded measurement of the same harness
+    rec = os.path.join(_HERE, "BASELINE_MEASURED.json")
+    if os.path.exists(rec):
+        try:
+            with open(rec) as fh:
+                per_core = json.load(fh)["avx512_engine_gcups_per_core"]
+            return per_core * 1e9 * BASELINE_THREADS
+        except Exception:
+            pass
+    return None
 
 
 def measure_avx_baseline(lr=128, lh=384):
@@ -114,7 +148,9 @@ def main():
     gcups = passes * effective_cells / best / 1e9
 
     baseline = os.environ.get("ROVACA_BASELINE_GCUPS")
-    baseline = float(baseline) if baseline else measure_avx_baseline()
+    baseline = (float(baseline) if baseline
+                else measure_reference_engine_baseline()
+                or measure_avx_baseline())
     vs = round(gcups / (baseline / 1e9), 3) if baseline else None
 
     print(json.dumps({

@@ -55,18 +55,23 @@ inline int find_tandem_repeat_units(const uint8_t* bases, int n, int offset) {
 
     int max_rl = max_bw;
     if (offset < n - 1) {
+        // recount unit = best_FW_repeat_unit: stays at its default
+        // (offset+1, length 1) unless a forward repeat (count > 1) was
+        // found, while max_fw keeps the count of the LAST TRIED unit —
+        // exactly pairhmm_internal.cpp:87-111
         const uint8_t* fw_unit = bases + offset + 1;
         int fw_len = 1;
         int max_fw = 0;
         for (int str_len = 1; str_len <= kMaxStrUnitLength; ++str_len) {
             if (offset + str_len + 1 > n) break;
-            fw_unit = bases + offset + 1;
-            fw_len = str_len;
-            max_fw = find_number_of_repetitions(fw_unit, str_len,
+            max_fw = find_number_of_repetitions(bases + offset + 1, str_len,
                                                 bases + offset + 1,
                                                 n - offset - 1,
                                                 /*leading=*/true);
-            if (max_fw > 1) break;
+            if (max_fw > 1) {
+                fw_len = str_len;
+                break;
+            }
         }
         max_bw = find_number_of_repetitions(fw_unit, fw_len, bases,
                                             offset + 1, /*leading=*/false);

@@ -79,14 +79,20 @@ def find_tandem_repeat_units(bases, offset):
 
     max_rl = max_bw
     if offset < n - 1:
+        # the recount unit is best_FW_repeat_unit, which stays at its
+        # default (offset+1, length 1) unless a forward repeat (count > 1)
+        # was found — while max_fw keeps the count of the LAST TRIED unit.
+        # Quirky, but exactly pairhmm_internal.cpp:87-111.
         fw_unit = bases[offset + 1:offset + 2]
         max_fw = 0
         for str_len in range(1, C.MAX_STR_UNIT_LENGTH + 1):
             if offset + str_len + 1 > n:
                 break
-            fw_unit = bases[offset + 1:offset + 1 + str_len]
-            max_fw = find_number_of_repetitions(fw_unit, bases[offset + 1:], leading=True)
+            max_fw = find_number_of_repetitions(
+                bases[offset + 1:offset + 1 + str_len], bases[offset + 1:],
+                leading=True)
             if max_fw > 1:
+                fw_unit = bases[offset + 1:offset + 1 + str_len]
                 break
         max_bw = find_number_of_repetitions(fw_unit, bases[:offset + 1], leading=False)
         max_rl = max_bw + max_fw

@@ -128,6 +128,11 @@ def diff(outdir, rtol=5e-4, atol=2e-3):
     worst = 0.0
     msgs = []
     for ci, ((rn, rm), (on, om)) in enumerate(zip(ref, ours)):
+        # the reference's call_pairhmm pre-sizes its output to the original
+        # read count; columns past the surviving reads are unwritten (NaN)
+        # and ignored downstream — truncate to the emitted name count
+        rm = rm[:, :len(rn)]
+        om = om[:, :len(on)]
         if set(rn) != set(on):
             n_filter_diff += 1
             msgs.append(f"case {ci}: poorly-modelled filter differs: "
