@@ -1,0 +1,52 @@
+#!/bin/bash
+# Build the reference binary into .refbuild/ using the refshim/ stand-ins
+# for boost and htslib (neither library nor its source exists in this
+# environment; only the reference's bundled htslib *headers* do).
+#
+# Everything algorithmic in the resulting binary is the reference's own
+# genuine code; the shim supplies IO codecs (BGZF/BAM/FASTA/VCF text),
+# CLI parsing, and thread-pool plumbing. See refshim/hts_shim/*.c headers.
+#
+# Usage: bash refshim/build_harness.sh [--clean]
+set -e
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+REF_SRC=/root/reference
+BUILD_ROOT="$REPO/.refbuild"
+REF="$BUILD_ROOT/ref"
+
+if [ "$1" = "--clean" ]; then
+    rm -rf "$REF"
+fi
+
+if [ ! -d "$REF" ]; then
+    mkdir -p "$BUILD_ROOT"
+    cp -r "$REF_SRC" "$REF"
+    # point the build at the mini-boost headers and use 2 jobs
+    sed -i 's|^set(CMAKE_MODULE_PATH ${CMAKE_SOURCE_DIR}/cmake)|set(CMAKE_MODULE_PATH ${CMAKE_SOURCE_DIR}/cmake)\ninclude_directories(SYSTEM '"$REPO"'/refshim/boost_mini)|' \
+        "$REF/CMakeLists.txt"
+    sed -i 's/^JOBS=32/JOBS=2/' "$REF/build_dev.sh"
+    sed -i 's|set(PACK_LINK_LIB ${PACK_LINK_LIB} ${LIB_PATH}/libboost_program_options.so.1.83.0)|# harness: program_options comes from the header-only mini-boost shim|' "$REF/src/CMakeLists.txt"
+    sed -i 's|cmake -DCMAKE_INSTALL_PREFIX|cmake -DBoost_INCLUDE_DIRS='"$REPO"'/refshim/boost_mini -DCMAKE_INSTALL_PREFIX|' \
+        "$REF/build_dev.sh"
+fi
+
+# 1. shim libhts
+HTSINC="$REF/third_lib/htslib/include"
+mkdir -p "$REF/third_lib/htslib/lib"
+echo "building hts shim..."
+gcc -shared -fPIC -O2 -g -Wl,-soname,libhts.so.3 -o "$REF/third_lib/htslib/lib/libhts.so.1.18-1-g6dbcddf" \
+    "$REPO"/refshim/hts_shim/shim_*.c -I"$HTSINC" -lz -lpthread
+
+# 2. reference build (full cmake configure + build)
+cd "$REF"
+if [ ! -d build-dev ]; then
+    bash build_dev.sh
+else
+    # refresh the copied libhts inside the build tree, then incremental make
+    rm -f build-dev/bin/libhts.so.3
+    cp third_lib/htslib/lib/libhts.so.1.18-1-g6dbcddf build-dev/bin/libhts.so.3
+    (cd build-dev && make -j2 && make install)
+fi
+
+echo "reference binary: $REF/release-dev/bin or $REF/build-dev/bin"
+ls -la "$REF/build-dev/bin/" | head -20
