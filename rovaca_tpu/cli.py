@@ -140,7 +140,24 @@ def run_haplotype_caller(argv):
                   profile_dir=a.profile_dir)
     t0 = time.time()
     try:
-        stats = HaplotypeCaller(args).run()
+        # multi-host pod slice: each process takes its interval shard and
+        # rank 0 merges (BASELINE north star; parallel/distributed.py).
+        # Only touch jax here when env actually describes a multi-process
+        # run — jax backend init before run()'s platform sync would pin the
+        # wrong platform on tunneled setups.
+        world = 1
+        if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+                os.environ.get("ROVACA_AUTO_DISTRIBUTED"):
+            from rovaca_tpu.utils.platform import sync_platform_from_env
+            sync_platform_from_env()
+            from rovaca_tpu.parallel.distributed import (
+                maybe_init_distributed, run_distributed)
+            _, world = maybe_init_distributed()
+        if world > 1:
+            stats = run_distributed(args,
+                                    lambda a: HaplotypeCaller(a).run())
+        else:
+            stats = HaplotypeCaller(args).run()
     except ValueError as exc:
         print(f"error: {exc}", file=sys.stderr)
         return 2

@@ -41,8 +41,19 @@ def _block(payload, level=6):
 
 
 class Writer:
-    def __init__(self, path, level=6):
-        self._fh = open(path, "wb")
+    def __init__(self, path, level=6, append=False):
+        if append:
+            # strip an existing EOF marker so appended blocks precede it
+            import os
+            if os.path.exists(path) and os.path.getsize(path) >= 28:
+                with open(path, "r+b") as fh:
+                    fh.seek(-28, 2)
+                    if fh.read(28) == EOF_BLOCK:
+                        fh.seek(-28, 2)
+                        fh.truncate()
+            self._fh = open(path, "ab")
+        else:
+            self._fh = open(path, "wb")
         self._buf = bytearray()
         self._level = level
 

@@ -91,16 +91,18 @@ class VcfWriter:
                  compression_level=6):
         self.gvcf = gvcf
         self.path = path
-        if path.endswith(".gz") and not append:
-            # BGZF (not plain gzip) so tabix/htslib tooling can index it
+        if path.endswith(".gz"):
+            # BGZF (not plain gzip) so tabix/htslib tooling can index it;
+            # append continues BGZF blocks before a fresh EOF marker
+            # (resume support, utils/checkpoint.py)
             import io as _io
 
             from . import bgzf
             self._fh = _io.TextIOWrapper(
-                _BgzfRaw(bgzf.Writer(path, compression_level)))
+                _BgzfRaw(bgzf.Writer(path, compression_level,
+                                     append=append)))
         else:
-            opener = gzip.open if path.endswith(".gz") else open
-            self._fh = opener(path, "at" if append else "wt")
+            self._fh = open(path, "at" if append else "wt")
         self.sample = sample
         if not append:
             self._write_header(contig_dict, gq_bands or [], command_line)

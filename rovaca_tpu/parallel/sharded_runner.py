@@ -86,15 +86,42 @@ def run_sharded(cli_args, n_shards, output_path, parallel=True):
     return counts
 
 
-def merge_shard_vcfs(shard_files, output_path):
+def _open_vcf_lines(path):
+    """Iterate text lines of a plain or BGZF/gzip-compressed VCF."""
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":
+        import io
+
+        from ..io import bgzf
+        fh = io.TextIOWrapper(bgzf.open_read(path))
+    else:
+        fh = open(path)
+    return fh
+
+
+def merge_shard_vcfs(shard_files, output_path, compression_level=6):
     """Coordinate-ordered merge: header from shard 0, bodies concatenated
-    (shards are genome-ordered and emit only their core span)."""
+    (shards are genome-ordered and emit only their core span).
+
+    BGZF-aware on both sides: shard inputs may be plain or compressed, and
+    a `.gz` output is written as true BGZF and re-indexed with a fresh .tbi
+    (mirrors the unsharded writer's close path, reference writer.cpp:97-98)."""
     counts = []
-    with open(output_path, "w") as out:
+    if output_path.endswith(".gz"):
+        import io
+
+        from ..io import bgzf
+        from ..io.vcf import _BgzfRaw
+        out = io.TextIOWrapper(_BgzfRaw(bgzf.Writer(output_path,
+                                                    compression_level)))
+    else:
+        out = open(output_path, "w")
+    try:
         wrote_header = False
         for path in shard_files:
             n = 0
-            with open(path) as fh:
+            with _open_vcf_lines(path) as fh:
                 for line in fh:
                     if line.startswith("#"):
                         if not wrote_header:
@@ -104,4 +131,11 @@ def merge_shard_vcfs(shard_files, output_path):
                     n += 1
             wrote_header = True
             counts.append(n)
+    finally:
+        out.close()
+    if output_path.endswith(".gz"):
+        from ..io import tabix
+        tabix.build_index(output_path)
     return counts
+
+

@@ -289,6 +289,12 @@ class HaplotypeCaller:
             pad = C.REGION_MAX_SIZE + C.REGION_PADDING
             lo, hi = max(lo, span[1] - pad), min(hi, span[2] + pad)
         caller.genotyping.clear_upstream_deletions()
+        # cross-region spanning-deletion emission fixup (GVCF): hom-ref
+        # lines under a deletion emitted by an earlier region are dropped /
+        # clipped so the next emitted position is the deletion end + 1
+        # (reference: block_combiner.cpp:41-48 next_variant_pos,
+        # writer.cpp:218-335 check_deletion_variant)
+        next_available = 0
 
         emit_inactive = args.gvcf_mode
         resume_floor = (self.checkpoint.completed_through(contig)
@@ -300,6 +306,7 @@ class HaplotypeCaller:
             earlier. Runs while the NEXT flush group occupies the device —
             the TPU analogue of the reference's producer/consumer overlap
             (haplotypecaller.cpp:117-146)."""
+            nonlocal next_available
             prepared, ready_calls, ordered, w_start = pw
             from .ref_confidence import HomRefSpan
             for key in ordered:
@@ -310,6 +317,10 @@ class HaplotypeCaller:
                     calls = caller.finish_region(prepared[key], lik, kept)
                 for call in calls:
                     if isinstance(call, HomRefSpan):
+                        if next_available > call.start:
+                            call = call.clip(next_available, 1 << 62)
+                            if call is None:
+                                continue
                         # hom-ref runs stay as arrays end to end; dbSNP IDs
                         # never survive block merging, so the lookup is
                         # skipped (same output as the per-position path)
@@ -324,6 +335,13 @@ class HaplotypeCaller:
                             for v in call.expand():
                                 writer.write(v)
                         continue
+                    ref_len = len(call.ref.bases)
+                    if ref_len > 1:
+                        # deletion horizon: next emittable hom-ref position
+                        # (tracked before span filtering so context regions
+                        # at shard edges still update it)
+                        next_available = max(next_available,
+                                             call.start + ref_len)
                     if span and span[1] is not None and not (
                             span[1] <= call.start < span[2]):
                         continue

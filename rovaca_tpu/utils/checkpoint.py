@@ -42,9 +42,18 @@ def truncate_output_after(path, contig, max_start):
     """Drop records of `contig` past `max_start` (1-based positions in the
     file; max_start is a 0-based window bound) so a resumed run can append
     without duplicates. Returns number of kept records."""
+    with open(path, "rb") as probe:
+        is_gz = probe.read(2) == b"\x1f\x8b"
     kept = []
     n = 0
-    with open(path) as fh:
+    if is_gz:
+        import io
+
+        from ..io import bgzf
+        fh = io.TextIOWrapper(bgzf.open_read(path))
+    else:
+        fh = open(path)
+    with fh:
         for line in fh:
             if not line.startswith("#"):
                 f = line.split("\t", 2)
@@ -52,6 +61,11 @@ def truncate_output_after(path, contig, max_start):
                     continue
                 n += 1
             kept.append(line)
-    with open(path, "w") as fh:
-        fh.writelines(kept)
+    if is_gz:
+        from ..io import bgzf
+        with bgzf.Writer(path) as w:
+            w.write("".join(kept).encode())
+    else:
+        with open(path, "w") as fh:
+            fh.writelines(kept)
     return n

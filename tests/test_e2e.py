@@ -166,3 +166,72 @@ class TestMultiContig:
         for contig, (pos, ref_b, alt_b) in truth.items():
             assert any(r["pos"] == pos + 1 and r["alt"] == [alt_b]
                        for r in by_contig[contig]), contig
+
+
+class TestSpanningDeletionFixup:
+    def test_gvcf_no_homref_under_deletion(self, tmp_path):
+        """Hom-ref GVCF rows never start inside a deletion's span — the
+        emission-side counterpart of the reference's writer fixup
+        (writer.cpp:218-335 check_deletion_variant)."""
+        rng = np.random.default_rng(11)
+        fasta, bam, truth, ref = simdata.make_standard_case(tmp_path, rng,
+                                                            coverage=20)
+        out = str(tmp_path / "out.g.vcf")
+        rc = cli_main(["HaplotypeCaller", "-i", bam, "-r", fasta, "-o", out,
+                       "-e", "GVCF", "--pairhmm-engine", "xla"])
+        assert rc == 0
+        records = parse_vcf(out)
+        horizon = 0
+        for r in records:
+            is_variant = r["alt"][0] != "<NON_REF>"
+            if is_variant:
+                if len(r["ref"]) > 1:
+                    horizon = max(horizon, r["pos"] + len(r["ref"]))
+            else:
+                assert r["pos"] >= horizon, \
+                    f"hom-ref row at {r['pos']} under deletion (next " \
+                    f"available {horizon})"
+
+
+class TestResumeBgzf:
+    def test_resume_mid_contig_vcf_gz(self, tmp_path):
+        """--resume on a .vcf.gz output: the truncated file stays valid
+        BGZF, appended records continue it, and the final file matches a
+        straight-through run."""
+        import gzip
+        import json
+        import os
+
+        rng = np.random.default_rng(13)
+        fasta, bam, truth, ref = simdata.make_standard_case(tmp_path, rng)
+
+        full = str(tmp_path / "full.vcf.gz")
+        rc = cli_main(["HaplotypeCaller", "-i", bam, "-r", fasta, "-o", full,
+                       "--pairhmm-engine", "xla"])
+        assert rc == 0
+        want = gzip.open(full, "rt").read()
+
+        # simulate an interrupted run: copy the full output, then force the
+        # checkpoint to claim only the first window finished
+        part = str(tmp_path / "part.vcf.gz")
+        with open(full, "rb") as src, open(part, "wb") as dst:
+            dst.write(src.read())
+        state = {"contigs": {"chr20": -(1 << 20)}}  # window start before 0
+        with open(part + ".progress", "w") as fh:
+            json.dump(state, fh)
+
+        rc = cli_main(["HaplotypeCaller", "-i", bam, "-r", fasta, "-o", part,
+                       "--pairhmm-engine", "xla", "--resume"])
+        assert rc == 0
+        got = gzip.open(part, "rt").read()
+        # bodies identical (header may repeat command line); compare records
+        want_body = [ln for ln in want.splitlines() if not
+                     ln.startswith("#")]
+        got_body = [ln for ln in got.splitlines() if not ln.startswith("#")]
+        assert got_body == want_body
+        # output is true BGZF ending with the EOF marker
+        from rovaca_tpu.io.bgzf import EOF_BLOCK
+        raw = open(part, "rb").read()
+        assert raw.endswith(EOF_BLOCK)
+        if os.path.exists(part + ".progress"):
+            os.unlink(part + ".progress")

@@ -154,3 +154,51 @@ class TestMultiDeviceScheduler:
             lik_s, kept_s = out_single[k]
             assert np.array_equal(kept_m, kept_s)
             assert np.array_equal(lik_m, lik_s)
+
+
+class TestPipelineDryrun:
+    def test_full_pipeline_over_mesh(self):
+        """regions -> assembly -> sharded PairHMM (shard_map + ordered
+        all_gather) -> genotyping -> merged records == unsharded run."""
+        from rovaca_tpu.parallel.pipeline_shard import pipeline_dryrun
+        n_records = pipeline_dryrun(4, genome_len=6000)
+        assert n_records >= 2
+
+
+class TestBgzfMerge:
+    def test_merge_to_bgzf_with_index(self, tmp_path):
+        import gzip
+
+        header = "##fileformat=VCFv4.2\n##contig=<ID=chr1,length=1000>\n" \
+                 "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        a = tmp_path / "a.vcf"
+        b = tmp_path / "b.vcf"
+        a.write_text(header + "chr1\t10\t.\tA\tC\t50\t.\tDP=9\n")
+        b.write_text(header + "chr1\t500\t.\tG\tT\t60\t.\tDP=7\n")
+        out = str(tmp_path / "merged.vcf.gz")
+        counts = merge_shard_vcfs([str(a), str(b)], out)
+        assert counts == [1, 1]
+        # true BGZF output, indexed, bodies in order with one header
+        import os
+        assert os.path.exists(out + ".tbi")
+        lines = gzip.open(out, "rt").read().splitlines()
+        body = [ln for ln in lines if not ln.startswith("#")]
+        assert [ln.split("\t")[1] for ln in body] == ["10", "500"]
+        assert sum(1 for ln in lines if ln.startswith("##fileformat")) == 1
+        # and the tabix index resolves queries
+        from rovaca_tpu.io import tabix
+        idx = tabix.TabixIndex.load(out + ".tbi")
+        got = list(tabix.fetch_lines(out, idx, "chr1", 400, 600))
+        assert len(got) == 1 and got[0].split("\t")[1] == "500"
+
+    def test_merge_bgzf_inputs(self, tmp_path):
+        from rovaca_tpu.io import bgzf
+        header = "##fileformat=VCFv4.2\n##contig=<ID=chr1,length=1000>\n" \
+                 "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        a = str(tmp_path / "a.vcf.gz")
+        with bgzf.Writer(a) as w:
+            w.write((header + "chr1\t10\t.\tA\tC\t50\t.\tDP=9\n").encode())
+        out = str(tmp_path / "merged.vcf")
+        counts = merge_shard_vcfs([a], out)
+        assert counts == [1]
+        assert "chr1\t10" in open(out).read()
