@@ -26,6 +26,10 @@ if [ ! -d "$REF" ]; then
         "$REF/CMakeLists.txt"
     sed -i 's/^JOBS=32/JOBS=2/' "$REF/build_dev.sh"
     sed -i 's|set(PACK_LINK_LIB ${PACK_LINK_LIB} ${LIB_PATH}/libboost_program_options.so.1.83.0)|# harness: program_options comes from the header-only mini-boost shim|' "$REF/src/CMakeLists.txt"
+    # reference bug fix: HaplotypeCaller::apply_bqsr_ is an uninitialized
+    # member pointer; garbage non-null selects the never-created BQSR
+    # stream (haplotypecaller.cpp:109) and the dispatch thread derefs null
+    sed -i 's|    : hc_args(nullptr)|    : hc_args(nullptr)\n    , apply_bqsr_(nullptr) /* harness fix: uninitialized member (UB) */|' "$REF/src/haplotypecaller/haplotypecaller.cpp"
     sed -i 's|cmake -DCMAKE_INSTALL_PREFIX|cmake -DBoost_INCLUDE_DIRS='"$REPO"'/refshim/boost_mini -DCMAKE_INSTALL_PREFIX|' \
         "$REF/build_dev.sh"
 fi

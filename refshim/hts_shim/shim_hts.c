@@ -79,11 +79,14 @@ htsFile *hts_open(const char *fn, const char *mode)
                 bmode[2] = 0;
             }
             fp->fp.bgzf = bgzf_open(fn, bmode);
-            fp->format.compression = bgzf;
         } else {
             fp->fp.bgzf = bgzf_open(fn, "wT"); /* raw text passthrough */
-            fp->format.compression = no_compression;
         }
+        /* always report bgzf so callers write through bgzf_write (the
+         * shim handle does passthrough text when uncompressed); the
+         * inline hfile.h hwrite path would poke hFILE fields that the
+         * shim's union slot does not hold (reference writer.cpp:427) */
+        fp->format.compression = bgzf;
         if (!fp->fp.bgzf) goto fail;
         fp->format.format = shim_ends_with(fn, ".bam") ? bam : vcf;
         if (fp->format.format == bam) fp->is_bin = 1;

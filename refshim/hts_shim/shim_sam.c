@@ -140,23 +140,34 @@ bam1_t *bam_init1(void) { return (bam1_t *)calloc(1, sizeof(bam1_t)); }
 void bam_destroy1(bam1_t *b)
 {
     if (!b) return;
-    if (bam_get_mempolicy(b) & BAM_USER_OWNS_DATA) {
+    /* htslib mempolicy semantics: each of data/struct is freed only when
+     * the user does NOT own it (pool-allocated reads set both bits and
+     * expect destroy to be a no-op) */
+    if ((bam_get_mempolicy(b) & BAM_USER_OWNS_DATA) == 0)
+        free(b->data);
+    else
+        b->l_data = 0;
+    if ((bam_get_mempolicy(b) & BAM_USER_OWNS_STRUCT) == 0)
         free(b);
-        return;
-    }
-    free(b->data);
-    free(b);
 }
 
 static int shim_bam_grow(bam1_t *b, size_t need)
 {
     if (b->m_data >= need) return 0;
-    size_t m = need;
-    /* round up to pow2-ish */
-    m += 32;
-    m = (m + 7) & ~((size_t)7);
-    uint8_t *nd = (uint8_t *)realloc(b->data, m);
-    if (!nd) return -1;
+    size_t m = (need + 39) & ~((size_t)7);
+    uint8_t *nd;
+    uint32_t policy = bam_get_mempolicy(b);
+    if (policy & BAM_USER_OWNS_DATA) {
+        /* htslib: never realloc a user-owned buffer — switch to an owned
+         * one and clear the flag */
+        nd = (uint8_t *)malloc(m);
+        if (!nd) return -1;
+        if (b->data && b->l_data > 0) memcpy(nd, b->data, (size_t)b->l_data);
+        bam_set_mempolicy(b, policy & ~(uint32_t)BAM_USER_OWNS_DATA);
+    } else {
+        nd = (uint8_t *)realloc(b->data, m);
+        if (!nd) return -1;
+    }
     b->data = nd;
     b->m_data = (uint32_t)m;
     return 0;
@@ -209,15 +220,10 @@ int sam_read1(samFile *fp, sam_hdr_t *h, bam1_t *b)
 
 bam1_t *bam_copy1(bam1_t *bdst, const bam1_t *bsrc)
 {
+    if (shim_bam_grow(bdst, (size_t)bsrc->l_data) < 0) return NULL;
     uint8_t *data = bdst->data;
     uint32_t m_data = bdst->m_data;
     uint32_t policy = bam_get_mempolicy(bdst);
-    if ((size_t)bsrc->l_data > m_data) {
-        if (policy & BAM_USER_OWNS_DATA) return NULL; /* fixed buffer */
-        data = (uint8_t *)realloc(data, bsrc->l_data);
-        if (!data) return NULL;
-        m_data = (uint32_t)bsrc->l_data;
-    }
     memcpy(data, bsrc->data, bsrc->l_data);
     *bdst = *bsrc;
     bdst->data = data;

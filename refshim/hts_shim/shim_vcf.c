@@ -74,6 +74,7 @@ void bcf_hdr_destroy(bcf_hdr_t *h)
 {
     if (!h) return;
     for (int t = 0; t < 3; ++t) {
+        if (!h->id[t]) continue; /* samples live in h->samples only */
         for (int i = 0; i < h->n[t]; ++i) {
             free((void *)h->id[t][i].key);
             free((void *)h->id[t][i].val);
