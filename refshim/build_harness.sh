@@ -54,3 +54,22 @@ fi
 
 echo "reference binary: $REF/release-dev/bin or $REF/build-dev/bin"
 ls -la "$REF/build-dev/bin/" | head -20
+
+# 3. golden harnesses: drive the reference's genuine engines directly
+BIN="$BUILD_ROOT/bin"
+mkdir -p "$BIN"
+HC="$REF/src/haplotypecaller"
+LIBDIR="$REF/build-dev/bin"
+echo "building pairhmm_harness..."
+g++ -std=c++17 -O2 -g -o "$BIN/pairhmm_harness" \
+    "$REPO/refshim/pairhmm_harness.cpp" \
+    -I"$HC/pairhmm" -I"$HC/genotype" -I"$HC/common" -I"$HC/common/utils" \
+    -I"$HC/common/base/include" -I"$HC" \
+    -I"$REF/third_lib/htslib/include" \
+    -I"$REF/third_lib/spdlog/include" \
+    -I"$REF/src/rovaca_logger" -I"$REF/src" \
+    -I"$REPO/refshim/boost_mini" \
+    -L"$LIBDIR" -Wl,-rpath,"$LIBDIR" \
+    -lpairhmm -lgenotype -lutils -lbase -llogger \
+    -l:libhts.so.3 -lz -lpthread
+echo "harness: $BIN/pairhmm_harness"

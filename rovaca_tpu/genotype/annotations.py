@@ -399,6 +399,56 @@ def _mwu_permutation_p(ranks, n1, n2, u_obs):
     return smaller / total
 
 
+def _read_index_for_ref_coord(read, ref_coord):
+    """(read_index, op) for the cigar element covering ref_coord, walking
+    from the soft start with soft clips consuming reference — the
+    reference's ReadRecordUtils::get_read_index_for_reference_coordinate
+    (read_record_utils.cpp:72-105). Deletion/skip elements return the read
+    index at the element boundary with op 'D'/'N'."""
+    from ..reads.cigar import CigarOp
+    soft_start = read.pos - read.cigar.left_soft_clip
+    if ref_coord < soft_start:
+        return None, None
+    rpos = 0
+    ref = soft_start
+    for op, n in read.cigar:
+        consumes_read = op in (CigarOp.M, CigarOp.I, CigarOp.S, CigarOp.EQ,
+                               CigarOp.X)
+        consumes_ref = op in (CigarOp.M, CigarOp.D, CigarOp.N, CigarOp.EQ,
+                              CigarOp.X, CigarOp.S)
+        first_r, first_ref = rpos, ref
+        rpos += n if consumes_read else 0
+        ref += n if consumes_ref else 0
+        if first_ref <= ref_coord < ref:
+            return (first_r + (ref_coord - first_ref)
+                    if consumes_read else first_r), op
+    return None, None
+
+
+def _read_pos_element(read, variant):
+    """min distance of the variant site from either read end, counting
+    hard-clipped bases (read_pos_rank_sum_test.cpp:21-57)."""
+    from ..reads.cigar import CigarOp
+    if read.pos == variant.stop + 1:
+        # variant immediately left of the read: insertion leading the read
+        # counts as position 0 (read_pos_rank_sum_test.cpp:27-42)
+        for op, _n in read.cigar:
+            if op in (CigarOp.S, CigarOp.H):
+                continue
+            if op == CigarOp.I:
+                return 0.0
+            break
+    offset, _op = _read_index_for_ref_coord(read, variant.start)
+    if offset is None:
+        return None
+    elems = read.cigar.elements
+    lead_h = elems[0][1] if elems and elems[0][0] == CigarOp.H else 0
+    trail_h = elems[-1][1] if elems and elems[-1][0] == CigarOp.H else 0
+    left = read.hard_left + lead_h + offset
+    right = (len(read.bases) - 1 - offset) + read.hard_right + trail_h
+    return float(min(left, right))
+
+
 def _per_read_values(variant, likelihoods, kind):
     """(alt_values, ref_values) for rank-sum tests."""
     best_idx, informative = classify_reads(likelihoods)
@@ -412,14 +462,15 @@ def _per_read_values(variant, likelihoods, kind):
             continue
         if kind == "mq":
             value = float(read.mapping_quality)
-        else:
+        elif kind == "baseq":
             offset, is_del = read.read_pos_at_ref_pos(loc)
             if offset is None:
                 continue
-            if kind == "baseq":
-                value = float(read.quals[offset])
-            else:  # readpos
-                value = float(min(offset, len(read.bases) - 1 - offset))
+            value = float(read.quals[offset])
+        else:  # readpos
+            value = _read_pos_element(read, variant)
+            if value is None:
+                continue
         (ref_vals if int(best_idx[r]) == 0 else alt_vals).append(value)
     return np.array(alt_vals), np.array(ref_vals)
 
@@ -431,7 +482,11 @@ def rank_sum(variant, likelihoods, kind):
 
 def excess_het(variant):
     """ExcessHet: phred-scaled p of excess heterozygosity (exact test,
-    Wigginton 2005), with the GATK 1-sample default behavior."""
+    Wigginton 2005), matching the reference's variant exactly
+    (annotation/info/excess_het.cpp:33-131). NOTE: the reference diverges
+    from GATK here — GATK halves the observed bin (mid-p); the reference
+    takes the full bin (excess_het.cpp:123), so 1 het sample gives p=1 →
+    ExcessHet=0, not GATK's 3.0103."""
     het = hom_ref = hom_alt = 0
     for g in variant.genotypes:
         if not g.is_called or g.ploidy != 2:
@@ -447,17 +502,23 @@ def excess_het(variant):
     if n == 0:
         return None
     p = _exact_het_p(het, hom_ref, hom_alt)
-    p = max(min(p, 1.0), 1e-320)
+    if p < 10e-60:  # excess_het.cpp:42-44 phred cap
+        return 160.00
     return round(-10.0 * math.log10(p), 4)
 
 
+# probabilities below this add nothing printable (excess_het.cpp:15)
+_EH_MIN_NEEDED = 10.0e-16
+
+
 def _exact_het_p(obs_het, obs_hom_ref, obs_hom_alt):
-    """P(het >= observed) under HWE (one-sided upper)."""
+    """P(het >= observed) under HWE (one-sided upper, full observed bin —
+    excess_het.cpp:63-131)."""
     n = obs_het + obs_hom_ref + obs_hom_alt
     rare = 2 * min(obs_hom_ref, obs_hom_alt) + obs_het
-    # mid het count
     probs = np.zeros(rare + 1)
-    mid = rare * (2 * n - rare) // (2 * n) if n else 0
+    # mode midpoint uses the 2n-1 denominator (excess_het.cpp:75)
+    mid = int(math.floor(rare * (2.0 * n - rare) / (2.0 * n - 1.0)))
     if mid % 2 != rare % 2:
         mid += 1
     probs[mid] = 1.0
@@ -465,10 +526,13 @@ def _exact_het_p(obs_het, obs_hom_ref, obs_hom_alt):
     het = mid
     hom_r = (rare - mid) // 2
     hom_c = n - het - hom_r
-    while het > 1:
-        probs[het - 2] = (probs[het] * het * (het - 1.0)
-                          / (4.0 * (hom_r + 1.0) * (hom_c + 1.0)))
-        total += probs[het - 2]
+    while het >= 2:
+        p = (probs[het] * het * (het - 1.0)
+             / (4.0 * (hom_r + 1.0) * (hom_c + 1.0)))
+        if p < _EH_MIN_NEEDED:
+            break
+        probs[het - 2] = p
+        total += p
         het -= 2
         hom_r += 1
         hom_c += 1
@@ -476,16 +540,20 @@ def _exact_het_p(obs_het, obs_hom_ref, obs_hom_alt):
     hom_r = (rare - mid) // 2
     hom_c = n - het - hom_r
     while het <= rare - 2:
-        probs[het + 2] = (probs[het] * 4.0 * hom_r * hom_c
-                          / ((het + 2.0) * (het + 1.0)))
-        total += probs[het + 2]
+        p = (probs[het] * 4.0 * hom_r * hom_c
+             / ((het + 2.0) * (het + 1.0)))
+        if p < _EH_MIN_NEEDED:
+            break
+        probs[het + 2] = p
+        total += p
         het += 2
         hom_r -= 1
         hom_c -= 1
-    # mid-p correction (GATK): half the observed bin + everything above
-    p = (0.5 * probs[obs_het]
-         + sum(probs[h] for h in range(obs_het + 1, rare + 1))) / total
-    return min(1.0, p)
+    right_pval = probs[obs_het] / total
+    if obs_het == rare:
+        return max(0.0, min(1.0, right_pval))
+    above = float(np.sum(probs[obs_het + 1:]))
+    return max(0.0, min(1.0, right_pval + above / total))
 
 
 def annotate_variant(variant, likelihoods, gvcf_mode=False):
@@ -510,8 +578,10 @@ def annotate_variant(variant, likelihoods, gvcf_mode=False):
         info["ReadPosRankSum"] = rprs
 
     info["DP"] = coverage(likelihoods)
+    # ExcessHet belongs to both VCF and GVCF sets
+    # (variant_annotator_engine.cpp:53,72)
     eh = excess_het(variant)
-    if eh is not None and not gvcf_mode:
+    if eh is not None:
         info["ExcessHet"] = eh
 
     if gvcf_mode:

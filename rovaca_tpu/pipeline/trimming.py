@@ -96,7 +96,11 @@ def trim_region(haplotypes, ref, ref_start, region_start, region_stop,
 
     pad_min, pad_max = min_start, max_end
     for vc in variants:
-        if len(vc.ref) != max(len(a) for a in vc.alleles if not a.is_symbolic):
+        # event-map variants are biallelic; indel iff alt length differs
+        # from ref (variant.cpp:225-241 type_of_biallelic_variant — the
+        # indel branch must fire for deletions too)
+        alt_lens = [len(a) for a in vc.alts if not a.is_symbolic]
+        if alt_lens and any(l != len(vc.ref) for l in alt_lens):
             padding = tandem_repeat_padding(vc, ref, ref_start)
         else:
             padding = C.SNP_PADDING_FOR_GENOTYPING

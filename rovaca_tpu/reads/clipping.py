@@ -65,6 +65,9 @@ def _rebuild(read, events, keep):
     if keep.size == 0:
         return read.copy(bases=b"", quals=np.zeros(0, dtype=np.uint8),
                          cigar=Cigar())
+    n_all = ref_all.size
+    hard_left = read.hard_left + int(keep[0])
+    hard_right = read.hard_right + int(n_all - 1 - keep[-1])
     bases = np.frombuffer(read.bases, dtype=np.uint8)[keep].tobytes()
     quals = np.asarray(read.quals)[keep]
     r = ref_all[keep]
@@ -92,7 +95,8 @@ def _rebuild(read, events, keep):
     # leading insertions before any aligned base anchor at the first ref pos
     new_pos = int(r[m][0]) if m.any() else read.pos
     cigar = Cigar.from_raw(elems).normalized()
-    return read.copy(bases=bases, quals=quals, cigar=cigar, pos=new_pos)
+    return read.copy(bases=bases, quals=quals, cigar=cigar, pos=new_pos,
+                     hard_left=hard_left, hard_right=hard_right)
 
 
 def _sms_layout(read):
@@ -139,7 +143,9 @@ def _slice_sms(read, lay, lo, hi):
     new_pos = read.pos + max(lo, leftS) - leftS if nM else read.pos
     return read.copy(bases=read.bases[lo:hi],
                      quals=np.asarray(read.quals)[lo:hi].copy(),
-                     cigar=Cigar.from_raw(elems).normalized(), pos=new_pos)
+                     cigar=Cigar.from_raw(elems).normalized(), pos=new_pos,
+                     hard_left=read.hard_left + lo,
+                     hard_right=read.hard_right + (n - hi))
 
 
 def revert_soft_clips(read):
@@ -176,7 +182,10 @@ def hard_clip_soft_clips(read):
     quals = read.quals[left:n - right]
     elems = [(op, ln) for op, ln in read.cigar
              if op not in (CigarOp.S, CigarOp.H)]
-    return read.copy(bases=bases, quals=quals, cigar=Cigar(elems).normalized())
+    return read.copy(bases=bases, quals=quals,
+                     cigar=Cigar(elems).normalized(),
+                     hard_left=read.hard_left + left,
+                     hard_right=read.hard_right + right)
 
 
 def clip_low_qual_ends(read, threshold=MIN_TAIL_QUALITY):

@@ -28,11 +28,11 @@ FLAG_SUPPLEMENTARY = 0x800
 class ReadRecord:
     __slots__ = ("name", "flag", "ref_id", "pos", "mapping_quality", "cigar",
                  "bases", "quals", "mate_ref_id", "mate_pos", "tlen", "tags",
-                 "contig", "_info_cache")
+                 "contig", "hard_left", "hard_right", "_info_cache")
 
     def __init__(self, name, flag, ref_id, pos, mapping_quality, cigar,
                  bases, quals, mate_ref_id=-1, mate_pos=-1, tlen=0, tags=None,
-                 contig=None):
+                 contig=None, hard_left=0, hard_right=0):
         self.name = name
         self.flag = flag
         self.ref_id = ref_id
@@ -46,6 +46,11 @@ class ReadRecord:
         self.tlen = tlen
         self.tags = tags if tags is not None else {}
         self.contig = contig
+        # query bases removed by hard clips on each side — the reference
+        # keeps H cigar elements and folds them back into read-position
+        # distances (read_pos_rank_sum_test.cpp:49-54); we track counts
+        self.hard_left = hard_left
+        self.hard_right = hard_right
         # per-read memo for the GVCF indel-informativeness mask (the read
         # is shared across overlapping regions; the mask is region-free)
         self._info_cache = None
@@ -168,7 +173,8 @@ class ReadRecord:
                   mate_ref_id=self.mate_ref_id, mate_pos=self.mate_pos,
                   # .items() honors lazy tag parsing (io.bam.LazyTags)
                   tlen=self.tlen, tags=dict(self.tags.items()),
-                  contig=self.contig)
+                  contig=self.contig, hard_left=self.hard_left,
+                  hard_right=self.hard_right)
         kw.update(overrides)
         return ReadRecord(**kw)
 

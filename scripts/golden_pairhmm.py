@@ -119,7 +119,7 @@ def parse_matrix_result(path):
     return blocks
 
 
-def diff(outdir, rtol=5e-4, atol=2e-3):
+def diff(outdir, rtol=5e-5, atol=1e-4):
     d = pathlib.Path(outdir)
     ours = parse_matrix_result(d / "result_ours.txt")
     ref = parse_matrix_result(d / "result_ref.txt")

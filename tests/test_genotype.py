@@ -340,12 +340,26 @@ class TestAnnotations:
         assert z == 0.0
 
     def test_excess_het_single_het(self):
+        # the reference takes the FULL observed bin (excess_het.cpp:123),
+        # not GATK's mid-p half: one het sample gives p=1 -> 0.0
         v = Variant(contig="c", start=0, stop=0,
                     alleles=[Allele(b"A", True), Allele(b"C")],
                     genotypes=[Genotype(alleles=[Allele(b"A", True),
                                                  Allele(b"C")])])
         eh = annotations.excess_het(v)
-        assert eh == pytest.approx(3.0103, abs=0.01)
+        assert eh == pytest.approx(0.0, abs=1e-9)
+
+    def test_excess_het_multi_sample(self):
+        # 3 samples: 2 het + 1 hom-ref; reference full-bin exact test
+        # (verified against excess_het.cpp:63-131 by hand: rare=2,n=3,
+        # mid=2, probs[2]=1, probs[0]=1/(4*2*1)... -> p(het>=2)=4/5)
+        ref, alt = Allele(b"A", True), Allele(b"C")
+        gts = [Genotype(alleles=[ref, alt]), Genotype(alleles=[ref, alt]),
+               Genotype(alleles=[ref, ref])]
+        v = Variant(contig="c", start=0, stop=0, alleles=[ref, alt],
+                    genotypes=gts)
+        eh = annotations.excess_het(v)
+        assert eh == pytest.approx(-10 * np.log10(0.8), abs=1e-6)
 
 
 class TestInformativeMaskNative:
