@@ -21,7 +21,7 @@ import numpy as np
 
 from .. import constants as C
 from ..reads import clipping
-from ..reads.cigar import Cigar
+from ..reads.cigar import Cigar, CigarOp
 from . import cigar_calc
 from .graph import MAX_HAPLOTYPES, ReadThreadingGraph, find_k_best_haplotypes
 
@@ -131,21 +131,39 @@ def adjust_overlapping_pair_quals(reads):
 
 
 def _adjust_pair(a, b):
-    first, second = (a, b) if a.unclipped_start <= b.unclipped_start else (b, a)
-    if first.end < second.pos or first.ref_id != second.ref_id:
+    """Mirror hc_assemble_utils_adjust_overlapping_paired_qual
+    (hc_assemble_utils.c:308-364): the overlap window is bounded by the
+    ALIGNED spans of both reads (soft-start index walk; the comparison
+    never runs into trailing soft clips), the second read's own leading
+    soft clips offset its start index, and a deletion boundary at the
+    overlap start is allowed (only S/H bail)."""
+    # reference tie-break: strict <, so equal soft starts make the
+    # SECOND argument (the currently iterated read) the "first" read
+    first, second = (a, b) if a.unclipped_start < b.unclipped_start \
+        else (b, a)
+    # first_end/second_end: last aligned reference position, inclusive
+    first_end = first.end - 1
+    second_end = second.end - 1
+    if first_end < second.pos or first.ref_id != second.ref_id:
         return
-    off1, in_del = first.read_pos_at_ref_pos(second.pos)
-    if off1 is None:
+    off1, op = first.index_at_ref_coord(second.pos)
+    if off1 is None or op in (CigarOp.S, CigarOp.H):
         return
-    n = min(len(first.bases) - off1, len(second.bases))
+    first_end_base, _ = first.index_at_ref_coord(first_end)
+    second_end_base, _ = second.index_at_ref_coord(second_end)
+    off2, _ = second.index_at_ref_coord(second.pos)
+    if first_end_base is None or second_end_base is None or off2 is None:
+        return
+    n = min(first_end_base - off1, second_end_base - off2) + 1
     for i in range(n):
-        if first.bases[off1 + i] == second.bases[i]:
+        if first.bases[off1 + i] == second.bases[off2 + i]:
             first.quals[off1 + i] = min(first.quals[off1 + i],
                                         PCR_SNV_ERROR_QUAL)
-            second.quals[i] = min(second.quals[i], PCR_SNV_ERROR_QUAL)
+            second.quals[off2 + i] = min(second.quals[off2 + i],
+                                         PCR_SNV_ERROR_QUAL)
         else:
             first.quals[off1 + i] = 0
-            second.quals[i] = 0
+            second.quals[off2 + i] = 0
 
 
 def assemble_with_kmer(reads, ref_window, kmer_size,

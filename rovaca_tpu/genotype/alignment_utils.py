@@ -33,9 +33,135 @@ def hap_to_ref_map(hap):
     return out
 
 
-def realign_read_to_haplotype(read, hap, h2r=None, sw_result=None):
+def _normalize_alleles(seqs, bounds, max_shift, trim):
+    """Port of AlignmentUtils::normalize_alleles
+    (alignment_utils.cpp:376-413). `bounds` are mutable [start, end) pairs,
+    one per sequence; returns (start_shift, end_shift)."""
+    def _same(offsets):
+        vals = []
+        for seq, idx in zip(seqs, offsets):
+            if idx < 0:
+                return False
+            vals.append(seq[idx])
+        return all(v == vals[0] for v in vals)
+
+    def last_right_same():
+        return _same([b[1] - 1 for b in bounds])
+
+    def first_left_same():
+        return _same([b[0] for b in bounds])
+
+    def next_left_same():
+        return _same([b[0] - 1 for b in bounds])
+
+    start_shift = end_shift = 0
+    min_size = min(b[1] - b[0] for b in bounds)
+    while trim and min_size > 0 and last_right_same():
+        for b in bounds:
+            b[1] -= 1
+        min_size -= 1
+        end_shift += 1
+    while trim and min_size > 0 and first_left_same():
+        for b in bounds:
+            b[0] += 1
+        min_size -= 1
+        start_shift -= 1
+    while start_shift < max_shift and next_left_same() and last_right_same():
+        for b in bounds:
+            b[0] -= 1
+            b[1] -= 1
+        start_shift += 1
+        end_shift += 1
+    return start_shift, end_shift
+
+
+_ALIGN_OPS = (CigarOp.M, CigarOp.EQ, CigarOp.X)
+
+
+def left_align_indels(elems, ref_bases, read_bases, read_start):
+    """Port of AlignmentUtils::left_align_indels
+    (alignment_utils.cpp:415-526): shift indels of a clip-free read-to-ref
+    cigar leftmost, trimming shared flanks into matches. `ref_bases` is the
+    reference-haplotype sequence, `read_start` the read's start index on
+    it. Returns (elements, leading_deletion_bases_removed)."""
+    elems = list(elems)
+    if not any(op in (CigarOp.I, CigarOp.D) for op, _ in elems):
+        return elems, 0
+
+    ref_len = sum(n for op, n in elems if op in CONSUMES_REF)
+    ref_range = [read_start + ref_len, read_start + ref_len]
+    read_range = [len(read_bases), len(read_bases)]
+    bounds = [ref_range, read_range]
+    seqs = (ref_bases, read_bases)
+    rtl = []  # (op, len) right-to-left
+
+    for n_idx in range(len(elems) - 1, -1, -1):
+        op, length = elems[n_idx]
+        on_ref = length if op in CONSUMES_REF else 0
+        on_read = length if op in CONSUMES_QUERY else 0
+        if op in (CigarOp.I, CigarOp.D):
+            ref_range[0] -= on_ref
+            read_range[0] -= on_read
+        elif (ref_range[1] - ref_range[0] == 0
+              and read_range[1] - read_range[0] == 0):
+            rtl.append((op, length))
+            ref_range[0] -= on_ref
+            ref_range[1] -= on_ref
+            read_range[0] -= on_read
+            read_range[1] -= on_read
+        else:
+            max_shift = length if op in _ALIGN_OPS else 0
+            ss, es = _normalize_alleles(seqs, bounds, max_shift, True)
+            rtl.append((CigarOp.M, es))
+            emit_indel = (n_idx == 0 or ss < max_shift
+                          or op not in _ALIGN_OPS)
+            new_match_left = -ss if ss < 0 else 0
+            remaining_left = length if ss < 0 else length - ss
+            if emit_indel:
+                rtl.append((CigarOp.D, ref_range[1] - ref_range[0]))
+                rtl.append((CigarOp.I, read_range[1] - read_range[0]))
+                ref_range[1] = ref_range[0]
+                read_range[1] = read_range[0]
+                dref = new_match_left + (remaining_left
+                                         if op in CONSUMES_REF else 0)
+                dread = new_match_left + (remaining_left
+                                          if op in CONSUMES_QUERY else 0)
+                ref_range[0] -= dref
+                ref_range[1] -= dref
+                read_range[0] -= dread
+                read_range[1] -= dread
+            rtl.append((CigarOp.M, new_match_left))
+            rtl.append((op, remaining_left))
+
+    rtl.append((CigarOp.D, ref_range[1] - ref_range[0]))
+    rtl.append((CigarOp.I, read_range[1] - read_range[0]))
+
+    # CigarBuilder make_and_record_deletions_removed: drop zero-length,
+    # merge adjacent, strip leading/trailing deletions (count leading)
+    merged = []
+    for op, length in reversed(rtl):
+        if length == 0:
+            continue
+        if merged and merged[-1][0] == op:
+            merged[-1][1] += length
+        else:
+            merged.append([op, length])
+    leading_del = 0
+    while merged and merged[0][0] == CigarOp.D:
+        leading_del += merged[0][1]
+        merged.pop(0)
+    while merged and merged[-1][0] == CigarOp.D:
+        merged.pop()
+    return [(op, length) for op, length in merged], leading_del
+
+
+def realign_read_to_haplotype(read, hap, h2r=None, sw_result=None,
+                              ref_hap=None):
     """New ReadRecord aligned to the reference through `hap`, or the
-    original read if the SW alignment is unusable."""
+    original read if the SW alignment is unusable
+    (AlignmentUtils::create_read_aligned_to_ref,
+    alignment_utils.cpp:563-658): compose read->hap->ref, left-align
+    indels against the reference haplotype, reattach clips."""
     if h2r is None:
         h2r = hap_to_ref_map(hap)
     if sw_result is not None:
@@ -49,15 +175,19 @@ def realign_read_to_haplotype(read, hap, h2r=None, sw_result=None):
     if res.alignment_offset < 0:
         return read
 
-    # read base -> hap base index (None for softclip/insertion)
+    # read base -> hap base index; SW soft clips (read overhangs the hap)
+    # stay soft clips, hap-inserted bases become insertions
     hap_idx = []
+    sw_clip = []
     h = res.alignment_offset
     for op, length in res.cigar:
         if op in (CigarOp.M, CigarOp.EQ, CigarOp.X):
             hap_idx.extend(h + k for k in range(length))
+            sw_clip.extend([False] * length)
             h += length
         elif op in (CigarOp.I, CigarOp.S):
             hap_idx.extend([None] * length)
+            sw_clip.extend([op == CigarOp.S] * length)
         elif op in (CigarOp.D, CigarOp.N):
             h += length
 
@@ -72,8 +202,7 @@ def realign_read_to_haplotype(read, hap, h2r=None, sw_result=None):
     for q, hi in enumerate(hap_idx):
         ref_pos = (h2r[hi] if hi is not None and hi < n_hap else None)
         if ref_pos is None:
-            op = CigarOp.I if new_pos is not None else CigarOp.S
-            elems.append((op, 1))
+            elems.append((CigarOp.S if sw_clip[q] else CigarOp.I, 1))
             continue
         if new_pos is None:
             new_pos = ref_pos
@@ -83,15 +212,30 @@ def realign_read_to_haplotype(read, hap, h2r=None, sw_result=None):
         elems.append((CigarOp.M, 1))
     if new_pos is None:
         return read
-    # trailing unaligned bases become soft clips
-    out = []
-    seen_m = False
-    for op, length in Cigar(elems).normalized():
-        out.append([op, length])
-    # convert trailing I to S
-    if out and out[-1][0] == CigarOp.I:
-        out[-1][0] = CigarOp.S
-    cigar = Cigar(tuple((op, ln) for op, ln in out)).normalized()
+    elems = [[op, length] for op, length in Cigar(elems).normalized()]
+
+    # split off soft clips; left-align the clip-free core against the
+    # reference haplotype, then reattach the clips
+    lead = []
+    while elems and elems[0][0] in (CigarOp.S, CigarOp.H):
+        lead.append(tuple(elems.pop(0)))
+    trail = []
+    while elems and elems[-1][0] in (CigarOp.S, CigarOp.H):
+        trail.insert(0, tuple(elems.pop()))
+    n_lead = sum(n for op, n in lead if op == CigarOp.S)
+    n_trail = sum(n for op, n in trail if op == CigarOp.S)
+    core_bases = read.bases[n_lead:len(read.bases) - n_trail]
+
+    if ref_hap is not None and getattr(ref_hap, "window_start", None) \
+            is not None:
+        read_start = new_pos - ref_hap.window_start
+        if 0 <= read_start:
+            elems, lead_del = left_align_indels(
+                [tuple(e) for e in elems], ref_hap.bases, core_bases,
+                read_start)
+            new_pos += lead_del
+
+    cigar = Cigar(lead + [tuple(e) for e in elems] + trail).normalized()
     if cigar.query_length != len(read.bases):
         return read
     return read.copy(pos=new_pos, cigar=cigar)
@@ -147,10 +291,12 @@ def realign_reads_to_their_best_haplotype(likelihoods):
                 ops, lens, offset = res
                 sw_results[r] = SWResult(Cigar(zip(ops, lens)), offset)
 
+    ref_hap = haps[ref_idx]
     new_reads = []
     for r, read in enumerate(likelihoods.reads):
         hap = best_haps[r]
         new_reads.append(realign_read_to_haplotype(
-            read, hap, maps[id(hap)], sw_result=sw_results[r]))
+            read, hap, maps[id(hap)], sw_result=sw_results[r],
+            ref_hap=ref_hap))
     likelihoods.reads = new_reads
     return likelihoods

@@ -399,32 +399,6 @@ def _mwu_permutation_p(ranks, n1, n2, u_obs):
     return smaller / total
 
 
-def _read_index_for_ref_coord(read, ref_coord):
-    """(read_index, op) for the cigar element covering ref_coord, walking
-    from the soft start with soft clips consuming reference — the
-    reference's ReadRecordUtils::get_read_index_for_reference_coordinate
-    (read_record_utils.cpp:72-105). Deletion/skip elements return the read
-    index at the element boundary with op 'D'/'N'."""
-    from ..reads.cigar import CigarOp
-    soft_start = read.pos - read.cigar.left_soft_clip
-    if ref_coord < soft_start:
-        return None, None
-    rpos = 0
-    ref = soft_start
-    for op, n in read.cigar:
-        consumes_read = op in (CigarOp.M, CigarOp.I, CigarOp.S, CigarOp.EQ,
-                               CigarOp.X)
-        consumes_ref = op in (CigarOp.M, CigarOp.D, CigarOp.N, CigarOp.EQ,
-                              CigarOp.X, CigarOp.S)
-        first_r, first_ref = rpos, ref
-        rpos += n if consumes_read else 0
-        ref += n if consumes_ref else 0
-        if first_ref <= ref_coord < ref:
-            return (first_r + (ref_coord - first_ref)
-                    if consumes_read else first_r), op
-    return None, None
-
-
 def _read_pos_element(read, variant):
     """min distance of the variant site from either read end, counting
     hard-clipped bases (read_pos_rank_sum_test.cpp:21-57)."""
@@ -438,7 +412,7 @@ def _read_pos_element(read, variant):
             if op == CigarOp.I:
                 return 0.0
             break
-    offset, _op = _read_index_for_ref_coord(read, variant.start)
+    offset, _op = read.index_at_ref_coord(variant.start)
     if offset is None:
         return None
     elems = read.cigar.elements

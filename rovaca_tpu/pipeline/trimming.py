@@ -37,31 +37,39 @@ def _count_leading_repeats(unit, seq):
 
 
 def tandem_repeat_padding(vc, ref, ref_start):
-    """Indel padding: 75 + longest repeat run, or plain 75
-    (adapter_utils.cpp:127-146; GATK getNumTandemRepeatUnits)."""
+    """Indel padding: 75 + longest repeat run when the allele is a tandem
+    expansion/contraction of its context, else plain 75
+    (adapter_utils.cpp:127-146 over
+    rovaca_variant_context_utils.cpp:415-483 getNumTandemRepeatUnits:
+    anchor base stripped, repeat counts measured against ref+context with
+    the in-ref count subtracted, and BOTH ref and alt counts must be
+    nonzero for every alt or the whole lookup fails)."""
     base = C.INDEL_PADDING_FOR_GENOTYPING
-    ref_bases = vc.ref.bases
+    ref_nb = vc.ref.bases[1:]
     remaining = ref[vc.start + 1 - ref_start:]
-    best = 0
-    unit = None
+    lengths = []
+    unit = b""
     for alt in vc.alts:
         if alt.is_symbolic:
             continue
-        a, b = ref_bases, alt.bases
-        if len(a) == len(b):
-            continue
-        longb, shortb = (a, b) if len(a) > len(b) else (b, a)
-        if not longb.startswith(shortb):
-            continue
-        diff = longb[len(shortb):]
-        unit = find_repeated_substring(diff)
+        alt_nb = alt.bases[1:]
+        long_b = alt_nb if len(alt_nb) > len(ref_nb) else ref_nb
+        unit = find_repeated_substring(long_b)
         if not unit:
-            continue
-        for seq in (remaining, diff + remaining):
-            best = max(best, _count_leading_repeats(unit, seq))
-    if unit and best:
-        return C.STR_PADDING_FOR_GENOTYPING + best * len(unit)
-    return base
+            return base
+        reps_in_ref = _count_leading_repeats(unit, ref_nb)
+        l_ref = _count_leading_repeats(unit, ref_nb + remaining) \
+            - reps_in_ref
+        l_alt = _count_leading_repeats(unit, alt_nb + remaining) \
+            - reps_in_ref
+        if l_ref == 0 or l_alt == 0:
+            return base
+        if not lengths:
+            lengths.append(l_ref)
+        lengths.append(l_alt)
+    if not lengths or not unit:
+        return base
+    return C.STR_PADDING_FOR_GENOTYPING + max(lengths) * len(unit)
 
 
 @dataclasses.dataclass

@@ -131,6 +131,11 @@ class BQSRReadTransformer:
         self.context_table = {}   # (rg, q, key) -> RecalDatum
         self.cycle_table = {}     # (rg, q, key) -> RecalDatum
         self._load(tables)
+        # the reference unconditionally disables quantization after the
+        # table load (bqsr_read_transformer.cpp: ctor calls
+        # quantization_info_->non_quantization()), so the Quantized table
+        # is parsed but never applied
+        self.quantized = list(range(MAX_PHRED + 1))
 
     @classmethod
     def from_table(cls, path):

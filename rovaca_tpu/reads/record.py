@@ -145,6 +145,29 @@ class ReadRecord:
                        dtype=np.uint8)
 
     # --- coordinate mapping ---
+    def index_at_ref_coord(self, ref_coord):
+        """(read_index, op) for the cigar element covering ref_coord,
+        walking from the soft start with soft clips consuming reference —
+        the reference's get_read_index_for_reference_coordinate
+        (read_record_utils.cpp:72-105, hc_assemble_utils.c C twin).
+        Deletion/skip elements return the read index at their boundary
+        with op 'D'/'N'; (None, None) when not covered."""
+        soft_start = self.pos - self.cigar.left_soft_clip
+        if ref_coord < soft_start:
+            return None, None
+        rpos = 0
+        ref = soft_start
+        for op, n in self.cigar:
+            consumes_read = op in CONSUMES_QUERY
+            consumes_ref = op in CONSUMES_REF or op == CigarOp.S
+            first_r, first_ref = rpos, ref
+            rpos += n if consumes_read else 0
+            ref += n if consumes_ref else 0
+            if first_ref <= ref_coord < ref:
+                return (first_r + (ref_coord - first_ref)
+                        if consumes_read else first_r), op
+        return None, None
+
     def read_pos_at_ref_pos(self, ref_pos):
         """Query offset aligned at ref_pos, or (None, deletion_flag).
 
