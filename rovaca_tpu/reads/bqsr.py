@@ -35,22 +35,111 @@ _LOG10_QEMP_PRIOR = np.array(
     [-0.22579135264472738 - 2.0 * d * d for d in range(MAX_USABLE_Q + 1)])
 
 
-def _log10_binom(n, k, p):
-    if p <= 0.0 or p >= 1.0:
-        p = min(max(p, 1e-300), 1 - 1e-16)
-    return ((math.lgamma(n + 1) - math.lgamma(k + 1) - math.lgamma(n - k + 1))
-            * math.log10(math.e)
-            + k * math.log10(p) + (n - k) * math.log10(1 - p))
+_TWO_PI = 2 * 3.141592653          # apply_bqsr_utils.cpp:12 (not math.tau!)
+_HALF_LOG_2_PI = 0.5 * math.log(_TWO_PI)
+# Apache Commons Math SaddlePointExpansion.EXACT_STIRLING_ERRORS — standard
+# published constants, mirrored by apply_bqsr_utils.cpp:25-57. Half-integer
+# Stirling-series errors for z = 0.0 .. 15.0 step 0.5.
+_EXACT_STIRLING = [
+    0.0, 0.1534264097200273452913848, 0.0810614667953272582196702,
+    0.0548141210519176538961390, 0.0413406959554092940938221,
+    0.03316287351993628748511048, 0.02767792568499833914878929,
+    0.02374616365629749597132920, 0.02079067210376509311152277,
+    0.01848845053267318523077934, 0.01664469118982119216319487,
+    0.01513497322191737887351255, 0.01387612882307074799874573,
+    0.01281046524292022692424986, 0.01189670994589177009505572,
+    0.01110455975820691732662991, 0.010411265261972096497478567,
+    0.009799416126158803298389475, 0.009255462182712732917728637,
+    0.008768700134139385462952823, 0.008330563433362871256469318,
+    0.007934114564314020547248100, 0.007573675487951840794972024,
+    0.007244554301320383179543912, 0.006942840107209529865664152,
+    0.006665247032707682442354394, 0.006408994188004207068439631,
+    0.006171712263039457647532867, 0.005951370112758847735624416,
+    0.005746216513010115682023589, 0.005554733551962801371038690,
+]
+
+
+def _deviance_part(x, mu):
+    """getDeviancePart (apply_bqsr_utils.cpp:59-81). C float semantics:
+    x/0 -> inf, log(inf) -> inf (Python would raise)."""
+    if mu == 0.0:
+        return math.inf if x > 0 else 0.0
+    if abs(x - mu) < 0.1 * (x + mu):
+        d = x - mu
+        v = d / (x + mu)
+        s1 = v * d
+        s = float("nan")
+        ej = 2.0 * x * v
+        v *= v
+        j = 1
+        while s1 != s:
+            s = s1
+            ej *= v
+            s1 = s + ej / (j * 2 + 1)
+            j += 1
+        return s1
+    return x * math.log(x / mu) + mu - x
+
+
+def _stirling_error(z):
+    """getStirlingError (apply_bqsr_utils.cpp:84-105)."""
+    if z < 15.0:
+        z2 = 2.0 * z
+        if math.floor(z2) == z2:
+            return _EXACT_STIRLING[int(z2)]
+        return math.lgamma(z + 1.0) - (z + 0.5) * math.log(z) \
+            + z - _HALF_LOG_2_PI
+    zz = z * z
+    return (0.083333333333333333333 -
+            (0.00277777777777777777778 -
+             (0.00079365079365079365079365 -
+              (0.000595238095238095238095238 -
+               0.0008417508417508417508417508 / zz) / zz) / zz) / zz) / z
+
+
+def _ln_binomial_probability(x, n, p, q):
+    """logBinomialProbability (apply_bqsr_utils.cpp:107-133) — NATURAL log.
+    The reference's log10_qual_emp_likelihood (:147-160) uses this natural-log
+    value as if it were log10 — no conversion — so the binomial likelihood is
+    effectively weighted ln(10)x stronger against the log10 prior. Bit-level
+    parity with the reference binary requires reproducing that exactly."""
+    if x == 0:
+        if p < 0.1:
+            return -_deviance_part(n, n * q) - n * p
+        return n * math.log(q) if q > 0.0 else -math.inf
+    if x == n:
+        if q < 0.1:
+            return -_deviance_part(n, n * p) - n * q
+        return n * math.log(p) if p > 0.0 else -math.inf
+    ret = (_stirling_error(n) - _stirling_error(x) - _stirling_error(n - x)
+           - _deviance_part(x, n * p) - _deviance_part(n - x, n * q))
+    f = (_TWO_PI * x * (n - x)) / n
+    return -0.5 * math.log(f) + ret
+
+
+_DBL_MAX = 1.7976931348623157e308
+
+
+def _likelihood(q_emp, n_obs, n_err):
+    """log10_qual_emp_likelihood (apply_bqsr_utils.cpp:147-160)."""
+    if n_obs == 0:
+        return 0.0
+    p = 10.0 ** (q_emp * -0.1)
+    if n_err < 0 or n_err > n_obs:
+        return -_DBL_MAX
+    ret = _ln_binomial_probability(n_err, n_obs, p, 1.0 - p)
+    if math.isinf(ret) or math.isnan(ret):
+        return -_DBL_MAX
+    return ret
 
 
 def empirical_quality_bayesian_estimate(n_obs, n_err, q_reported):
     """argmax over integer Qemp of prior + binomial likelihood
     (apply_bqsr_utils.cpp:302-316)."""
-    best, best_q = -np.inf, 0
+    best, best_q = -_DBL_MAX, 0
     for q in range(MAX_REASONABLE_Q + 1):
         d = min(abs(int(q - q_reported)), MAX_USABLE_Q)
-        lp = _LOG10_QEMP_PRIOR[d] + _log10_binom(n_obs, n_err,
-                                                 10.0 ** (-0.1 * q))
+        lp = _LOG10_QEMP_PRIOR[d] + _likelihood(float(q), n_obs, n_err)
         if lp > best:
             best, best_q = lp, q
     return float(best_q)

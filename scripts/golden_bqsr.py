@@ -164,8 +164,7 @@ def main():
     elif cmd == "ref":
         run_ref(outdir)
     elif cmd == "diff":
-        ok = golden_e2e.diff(outdir)
-        sys.exit(0 if ok else 1)
+        sys.exit(golden_e2e.diff(outdir))
     else:
         raise SystemExit(f"unknown command {cmd}")
 
