@@ -79,7 +79,11 @@ class HomRefBlock:
 
     def to_variant(self):
         from ..genotype.variant import Genotype, Variant
-        dp = int(np.median(self.dps))
+        # multiset median: odd -> middle; even -> round-half-away of the two
+        # middle values (hom_ref_block.cpp:88-100 median_dp)
+        s = sorted(self.dps)
+        n = len(s)
+        dp = s[n // 2] if n & 1 else (s[n // 2] + s[n // 2 - 1] + 1) // 2
         g = Genotype(alleles=[self.ref, self.ref],
                      pl=self.min_pls, dp=dp,
                      gq=self.genotype.gq if self.min_pls is None else
@@ -97,6 +101,8 @@ class HomRefBlock:
 
 
 def _gq(pls):
+    """second-smallest PL minus smallest, capped at 99 at emission
+    (rovaca_variant_context_utils.cpp:600-623, adapter_utils.cpp:324)."""
     s = sorted(pls)
     return min(int(s[1] - s[0]), 99)
 
@@ -173,6 +179,12 @@ class BlockCombiner:
         if self.block is not None:
             self.writer.write(self.block.to_variant())
             self.block = None
+
+    def flush_batch(self):
+        """RegionSource batch boundary: the reference calls force_output
+        after every batch (haplotypecaller_engine.cpp:288-291), closing the
+        open hom-ref block even when the next site would extend it."""
+        self._flush_block()
 
     def flush_contig(self):
         self._flush_block()

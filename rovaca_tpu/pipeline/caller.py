@@ -26,6 +26,68 @@ WINDOW_SIZE = 1 << 20          # 1 Mbp activity windows
 WINDOW_MARGIN = 1000           # reads/smear margin around each window
 
 
+class RegionBatchSim:
+    """Replays the reference's RegionSource batch boundaries so GVCF hom-ref
+    blocks flush at the same positions (reference: RegionManager.cpp:11-108,
+    haplotypecaller_engine.cpp:288-291 force_output per task).
+
+    The reference's GVCF/VCF/little-chrom buffer factors are written `1/4`,
+    `1/32` etc. — integer divisions that evaluate to 0 (RegionManager.cpp:5-9)
+    — so on contigs < 500kb the batch breaks after every region that copied
+    at least one read. On bigger contigs batching follows the 32 MiB
+    BamDataPool: each copied read costs sizeof(bam1_t)=80 + round8(l_data)
+    (bam_data_pool.hpp:37-71), and a batch closes when the remaining pool
+    is <= 16x the costliest region so far (RegionManager.cpp:23,
+    EXTRA_FACTOR=16)."""
+
+    POOL = 32 * 1024 * 1024     # k_wgs_bamdata_pool_mem, haplotypecaller.cpp:24
+    LITTLE = 500_000            # LITTLE_CHROM_SIZE, RegionManager.cpp:5
+    MARGIN = 16                 # EXTRA_FACTOR, RegionManager.cpp:9
+
+    def __init__(self, contig_len):
+        self.little = contig_len < self.LITTLE
+        self.used = 0
+        self.max_region = 0
+
+    @staticmethod
+    def read_bytes(read):
+        """Pool bytes one bam_copy1 of this read consumes."""
+        tags = read.tags
+        raw = getattr(tags, "_raw", None)
+        if raw is not None:
+            aux = len(raw)
+        else:
+            aux = 0
+            for tag, val in tags.items():
+                if isinstance(val, str) and len(val) == 1:
+                    aux += 4
+                elif isinstance(val, float):
+                    aux += 7
+                elif isinstance(val, int):
+                    aux += 7
+                else:
+                    aux += 4 + len(str(val))
+        qname_block = (len(read.name) + 1 + 3) // 4 * 4
+        lq = len(read.bases)
+        l_data = (qname_block + 4 * len(read.cigar) + (lq + 1) // 2 + lq
+                  + aux)
+        return 80 + ((l_data + 7) & ~7)
+
+    def next_region(self, region_bytes):
+        """Account one region (its copied-read bytes); True if the reference
+        would have closed the batch BEFORE this region."""
+        if self.little:
+            flush = self.used > 0
+        else:
+            flush = (self.POOL - self.used) <= self.max_region * self.MARGIN
+        if flush:
+            self.used = 0
+            self.max_region = 0
+        self.used += region_bytes
+        self.max_region = max(self.max_region, region_bytes)
+        return flush
+
+
 @dataclasses.dataclass
 class HCArgs:
     bam_paths: list
@@ -295,6 +357,7 @@ class HaplotypeCaller:
         # (reference: block_combiner.cpp:41-48 next_variant_pos,
         # writer.cpp:218-335 check_deletion_variant)
         next_available = 0
+        batch_sim = RegionBatchSim(contig_len)
 
         emit_inactive = args.gvcf_mode
         resume_floor = (self.checkpoint.completed_through(contig)
@@ -307,9 +370,11 @@ class HaplotypeCaller:
             the TPU analogue of the reference's producer/consumer overlap
             (haplotypecaller.cpp:117-146)."""
             nonlocal next_available
-            prepared, ready_calls, ordered, w_start = pw
+            prepared, ready_calls, ordered, w_start, rbytes = pw
             from .ref_confidence import HomRefSpan
             for key in ordered:
+                if combiner is not None and batch_sim.next_region(rbytes[key]):
+                    combiner.flush_batch()
                 if key in ready_calls:
                     calls = ready_calls[key]
                 else:
@@ -410,6 +475,7 @@ class HaplotypeCaller:
             prepared = {}
             ready_calls = {}
             ordered = []
+            rbytes = {}
             tasks = []
             for region in regions:
                 # regions fully in the overlap margin belong to the next window
@@ -422,6 +488,9 @@ class HaplotypeCaller:
                                               pad_s, pad_e, pos_sorted)
                 key = (region.start, region.end)
                 ordered.append(key)
+                rbytes[key] = (sum(RegionBatchSim.read_bytes(r)
+                                   for r in region_reads)
+                               if combiner is not None else 0)
                 rw = RefWindow.of(ref, max(0, pad_s - 700),
                                   min(contig_len - 1, pad_e + 700))
                 tasks.append((key, region, region_reads, rw, contig))
@@ -436,7 +505,8 @@ class HaplotypeCaller:
                                        pcr_model=args.pcr_indel_model)
                     group_tiles += (-(-len(p.call_reads) // 128)
                                     * -(-len(p.haps) // 8))
-            group_windows.append((prepared, ready_calls, ordered, win_start))
+            group_windows.append((prepared, ready_calls, ordered, win_start,
+                                  rbytes))
             if group_tiles >= flush_tiles:
                 group_sched.dispatch()
                 drain_flushed()  # genotype the prior group during this one

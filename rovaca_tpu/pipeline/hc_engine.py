@@ -85,8 +85,13 @@ class RegionCaller:
 
         if not region.is_active:
             if cfg.gvcf_mode:
-                return self._reference_confidence_only(region, reads, ref,
-                                                       contig)
+                # the reference finalizes reads before the active check
+                # (run_local_assemble runs first; non-active returns the
+                # finalized reads — haplotypecaller_engine.cpp:169-189)
+                fin = assembler.finalize_region_reads(reads, pad_start,
+                                                      pad_stop)
+                return self._reference_confidence_only(
+                    region, fin, ref, contig, (pad_start, pad_stop))
             return []
 
         fin = assembler.finalize_region_reads(reads, pad_start, pad_stop)
@@ -102,8 +107,8 @@ class RegionCaller:
             pad_start, pad_stop, cfg.max_mnp_distance)
         if trim is None:
             if cfg.gvcf_mode:
-                return self._reference_confidence_only(region, reads, ref,
-                                                       contig)
+                return self._reference_confidence_only(
+                    region, fin, ref, contig, (pad_start, pad_stop))
             return []
 
         span_start, span_stop = trim.padded_span
@@ -112,10 +117,11 @@ class RegionCaller:
                                         span_stop)
         if len(haps) <= 1:
             if cfg.gvcf_mode:
-                return self._reference_confidence_only(region, reads, ref,
-                                                       contig)
+                return self._reference_confidence_only(
+                    region, fin, ref, contig, (pad_start, pad_stop))
             return []
         call_reads = trimming.trim_reads(fin, span_start, span_stop)
+        untrimmed_fin = fin  # original_reads for GVCF flanks / fallbacks
         # filter_non_passing_reads (haplotypecaller_engine.cpp:419-437):
         # short, low-MQ, or mate-on-other-contig reads leave the calling
         # set but are fed back into the annotation likelihoods with 0.0
@@ -137,6 +143,10 @@ class RegionCaller:
                 passing.append(r)
         call_reads = passing
         if not call_reads:
+            if cfg.gvcf_mode:
+                return self._reference_confidence_only(
+                    region, untrimmed_fin, ref, contig,
+                    (pad_start, pad_stop))
             return []
 
         from ..utils.refwindow import RefWindow
@@ -145,7 +155,8 @@ class RegionCaller:
         margin = 600
         ref_view = RefWindow.of(ref, max(0, pad_start - margin),
                                 min(contig_len - 1, pad_stop + margin))
-        return PreparedRegion(region=region, reads=reads, ref=ref_view,
+        return PreparedRegion(region=region, reads=untrimmed_fin,
+                              ref=ref_view,
                               contig=contig, haps=haps,
                               call_reads=call_reads, span=(span_start,
                                                            span_stop),
@@ -158,8 +169,14 @@ class RegionCaller:
         cfg = self.config
         p = prepared
         self.genotyping.args.contig_length = p.contig_length
+        pad_start = max(0, p.region.start - cfg.region_padding)
+        pad_stop = min(p.contig_length - 1, p.region.end + cfg.region_padding)
         kept_reads = [p.call_reads[i] for i in kept]
         if not kept_reads:
+            if cfg.gvcf_mode:
+                return self._reference_confidence_only(
+                    p.region, p.reads, p.ref, p.contig,
+                    (pad_start, pad_stop))
             return []
         hap_lik = AlleleLikelihoods(list(p.haps), kept_reads, lik_matrix)
         # project reads through their best haplotype into ref coordinates
@@ -179,9 +196,16 @@ class RegionCaller:
             c.contig = p.contig
 
         if cfg.gvcf_mode:
+            if not calls:
+                # no real calls survived genotyping: the whole region falls
+                # back to the no-variation model over the finalized reads
+                # (haplotypecaller_engine.cpp:269-273 contains_calls)
+                return self._reference_confidence_only(
+                    p.region, p.reads, p.ref, p.contig,
+                    (pad_start, pad_stop))
             calls = self._merge_with_ref_confidence(
                 p.region, p.reads, p.ref, p.contig, calls, kept_reads,
-                p.variant_span)
+                p.variant_span, p.span, (pad_start, pad_stop))
         return calls
 
     def _dump_assembly(self, region, contig, reads, haplotypes):
@@ -198,17 +222,24 @@ class RegionCaller:
             fh.write("\n")
 
     # -- GVCF support (filled in by the reference-confidence model) --------
-    def _reference_confidence_only(self, region, reads, ref, contig):
+    def _reference_confidence_only(self, region, reads, ref, contig,
+                                   padded_span=None):
         from . import ref_confidence
         return ref_confidence.reference_model_for_no_variation(
-            region, reads, ref, contig,
+            region, reads, ref, contig, padded_span=padded_span,
             mapping_quality_threshold=self.config.mapping_quality_threshold,
             sample=self.config.sample_name)
 
     def _merge_with_ref_confidence(self, region, reads, ref, contig, calls,
-                                   genotype_reads, variant_span):
+                                   genotype_reads, variant_span,
+                                   variant_padded_span=None,
+                                   padded_span=None):
         from . import ref_confidence
         return ref_confidence.calculate_ref_confidence_with_calls(
             region, reads, ref, contig, calls, genotype_reads, variant_span,
+            variant_padded_span=variant_padded_span,
+            padded_span=padded_span,
             mapping_quality_threshold=self.config.mapping_quality_threshold,
-            sample=self.config.sample_name)
+            sample=self.config.sample_name,
+            region_padding=self.config.region_padding,
+            contig_length=self.genotyping.args.contig_length)

@@ -88,6 +88,25 @@ class ReadRecord:
     def is_first_of_pair(self):
         return bool(self.flag & FLAG_FIRST)
 
+    @property
+    def mate_is_unmapped(self):
+        return self.is_paired and bool(self.flag & FLAG_MATE_UNMAPPED)
+
+    @property
+    def mate_is_reverse(self):
+        return self.is_paired and bool(self.flag & FLAG_MATE_REVERSE)
+
+    @property
+    def insert_size(self):
+        return self.tlen
+
+    @property
+    def unclipped_length(self):
+        """seq length minus soft-clipped bases (the reference's
+        unclipped_read_length, read_record.cpp:155-163)."""
+        return len(self.bases) - sum(n for op, n in self.cigar
+                                     if op == CigarOp.S)
+
     # --- coordinates ---
     def __len__(self):
         return len(self.bases)

@@ -194,15 +194,39 @@ def diff(outdir, gvcf=False):
     ours, ours_order = parse_vcf(ours_path)
     ref, ref_order = parse_vcf(ref_path)
 
-    # GVCF: compare only variant rows exactly; hom-ref band structure is
-    # compared coarsely (every position covered by a band on both sides)
+    # GVCF: variant rows compared field-exactly; hom-ref band rows compared
+    # EXACTLY on (pos, END, GT, GQ, DP, MIN_DP, PL) — block_combiner.cpp
+    # semantics. No rows are filtered.
     def is_variant_row(rec):
-        return rec["alts"] not in ([ "<NON_REF>" ],) and \
-            rec["alts"][0] != "<NON_REF>"
+        return rec["alts"][0] != "<NON_REF>"
 
+    band_mismatches = []
     if gvcf:
         ours_v = {k: v for k, v in ours.items() if is_variant_row(v)}
         ref_v = {k: v for k, v in ref.items() if is_variant_row(v)}
+        ours_b = {(v["chrom"], v["pos"]): v
+                  for v in ours.values() if not is_variant_row(v)}
+        ref_b = {(v["chrom"], v["pos"]): v
+                 for v in ref.values() if not is_variant_row(v)}
+        for k in sorted(set(ours_b) - set(ref_b)):
+            band_mismatches.append((k, ["band row only in OURS"]))
+        for k in sorted(set(ref_b) - set(ours_b)):
+            band_mismatches.append((k, ["band row only in REF"]))
+        for k in sorted(set(ours_b) & set(ref_b)):
+            a, b = ours_b[k], ref_b[k]
+            msgs = []
+            if a["ref"] != b["ref"]:
+                msgs.append(f"band REF {a['ref']} vs {b['ref']}")
+            ea = a["info"].get("END", str(a["pos"]))
+            eb = b["info"].get("END", str(b["pos"]))
+            if str(ea) != str(eb):
+                msgs.append(f"band END {ea} vs {eb}")
+            for f in ("GT", "GQ", "DP", "MIN_DP", "PL"):
+                va, vb = a["fmt"].get(f), b["fmt"].get(f)
+                if va != vb:
+                    msgs.append(f"band FMT/{f} {va} vs {vb}")
+            if msgs:
+                band_mismatches.append((k, msgs))
     else:
         ours_v, ref_v = ours, ref
 
@@ -242,13 +266,20 @@ def diff(outdir, gvcf=False):
     n_shared = len(set(ours_v) & set(ref_v))
     print(f"shared sites: {n_shared}; ours-only: {len(only_ours)}; "
           f"ref-only: {len(only_ref)}; field mismatches: {len(mismatches)}")
+    if gvcf:
+        print(f"band rows: ours={sum(not is_variant_row(v) for v in ours.values())} "
+              f"ref={sum(not is_variant_row(v) for v in ref.values())}; "
+              f"band mismatches: {len(band_mismatches)}")
     for key in only_ours[:20]:
         print("  OURS-ONLY", key)
     for key in only_ref[:20]:
         print("  REF-ONLY ", key)
     for key, msgs in mismatches[:40]:
         print("  DIFF", key, "; ".join(msgs))
-    ok = not only_ours and not only_ref and not mismatches
+    for key, msgs in band_mismatches[:40]:
+        print("  BAND-DIFF", key, "; ".join(msgs))
+    ok = (not only_ours and not only_ref and not mismatches
+          and not band_mismatches)
     print("RESULT:", "MATCH" if ok else "DIVERGENT")
     return 0 if ok else 1
 

@@ -362,44 +362,121 @@ class TestAnnotations:
         assert eh == pytest.approx(-10 * np.log10(0.8), abs=1e-6)
 
 
-class TestInformativeMaskNative:
-    """Native batch indel-informativeness must equal the numpy version."""
+def _informative_oracle(read, read_start, ref_bytes, ref_start):
+    """Direct loop translation of the reference's
+    read_has_no_plausible_ideals_of_size + traverse_end_of_read_for_indel_
+    mismatches (reference_confidence_model.cpp:244-392) — the unambiguous
+    scalar oracle for the vectorized informative_set."""
+    import numpy as np
+    from rovaca_tpu.pipeline.ref_confidence import one_to_one, _MASK
 
-    def test_native_matches_numpy(self):
+    GAP = 45
+    K = 10
+    raw_len = len(read.bases)
+    info = np.zeros(raw_len, dtype=bool)
+    ref_len = len(ref_bytes)
+    if raw_len - read_start < K or ref_len - ref_start < K:
+        return info
+    secondary = raw_len - K
+    gb, gq = one_to_one(read)
+    glen = len(gb)
+    if glen - read_start <= K:
+        return info
+    if glen < ref_len - ref_start + read_start + 1:
+        last_rel, ref_shorter = glen - K, False
+    else:
+        last_rel = ref_len - ref_start + read_start - K + 1
+        ref_shorter = True
+
+    def mism(rb, fb):
+        return (_MASK[rb] & _MASK[int(ref_bytes[fb])]) == 0 and rb != GAP
+
+    n = min(glen - read_start, ref_len - ref_start)
+    baseline = [0] * n
+    s = 0
+    for i in range(n - 1, -1, -1):
+        if mism(gb[read_start + i], ref_start + i):
+            s += int(gq[read_start + i])
+        baseline[i] = s
+
+    marked = np.zeros(glen, dtype=bool)
+    for size in range(1, K + 1):
+        for insertion in (False, True):
+            ins = size if insertion else 0
+            dele = 0 if insertion else size
+            first = glen - read_start - ins
+            second = ref_len - ref_start - dele
+            nb = min(first, second)
+            bqs = 0
+            ro, fo = nb + ins - 1, nb + dele - 1
+            while ro >= 0 and fo >= 0:
+                if mism(gb[read_start + ro], ref_start + fo):
+                    bqs += int(gq[read_start + ro])
+                    if bqs > baseline[0]:
+                        break
+                site = min(ro, fo)
+                if (gb[read_start + site] != GAP
+                        and read_start + site < last_rel
+                        and read_start + site <= secondary
+                        and baseline[site] >= bqs):
+                    marked[read_start + site] = True
+                ro -= 1
+                fo -= 1
+    if last_rel <= secondary:
+        marked[:last_rel] = ~marked[:last_rel]
+        if ref_shorter:
+            marked[last_rel - 1] = False
+    else:
+        hi = min(secondary + 1, glen)
+        marked[:hi] = ~marked[:hi]
+    out = np.zeros(raw_len, dtype=bool)
+    m = min(raw_len, glen)
+    out[:m] = marked[:m]
+    return out
+
+
+class TestInformativeSetExact:
+    """Vectorized informative_set must equal the scalar reference oracle."""
+
+    def test_matches_oracle(self):
         import numpy as np
-        from rovaca_tpu import constants as C
-        from rovaca_tpu.native import refconf_native
-        from rovaca_tpu.pipeline.ref_confidence import _informative_mask
+        from rovaca_tpu.pipeline.ref_confidence import informative_set
+        from rovaca_tpu.reads.record import ReadRecord
 
-        assert refconf_native.available(), "native refconf lib failed to build"
         rng = np.random.default_rng(11)
-        ref = rng.choice(list(b"ACGT"), size=600).astype(np.uint8)
-        bases_l, quals_l, rpl_l, want = [], [], [], []
-        for t in range(40):
+        ref = rng.choice(list(b"ACGTN"), p=[.24, .24, .24, .24, .04],
+                         size=600).astype(np.uint8)
+        for t in range(60):
             n = int(rng.integers(5, 120))
             start = int(rng.integers(0, 400))
-            rb = ref[start:start + n].copy()
-            # sprinkle mismatches
-            nmm = int(rng.integers(0, 6))
-            for _ in range(nmm):
-                p = int(rng.integers(0, n))
-                rb[p] = rng.choice(list(b"ACGT"))
-            rq = rng.integers(2, 60, size=n).astype(np.uint8)
-            rpl = start + np.arange(n, dtype=np.int64)
-            if t % 5 == 0 and n > 30:
-                # simulate an internal deletion: shift the tail's diagonal
-                cut = n // 2
-                rpl[cut:] += int(rng.integers(1, 4))
-                rb[cut:] = ref[rpl[cut:]]
-            bases_l.append(rb)
-            quals_l.append(rq)
-            rpl_l.append(rpl)
-            want.append(_informative_mask(rb, rq.astype(np.int64), rpl, ref))
-        masks, ok = refconf_native.informative_mask_batch(
-            bases_l, quals_l, rpl_l, ref, C.MAX_INDEL_SIZE)
-        for i in range(len(want)):
-            if want[i] is None:
-                assert not ok[i]
+            # build a read with optional indel in the middle
+            kind = t % 4
+            if kind == 0 or n < 40:
+                cigar, qlen = f"{n}M", n
+            elif kind == 1:
+                d = int(rng.integers(1, 12))
+                cigar, qlen = f"{n//2}M{d}D{n - n//2}M", n
+            elif kind == 2:
+                i = int(rng.integers(1, 12))
+                cigar = f"{n//2}M{i}I{n - n//2 - i}M" \
+                    if n - n//2 - i > 0 else f"{n}M"
+                qlen = n
             else:
-                assert ok[i]
-                np.testing.assert_array_equal(masks[i], want[i])
+                s = int(rng.integers(1, 8))
+                cigar = f"{s}S{n - s}M"
+                qlen = n
+            rb = rng.choice(list(b"ACGT"), size=qlen).astype(np.uint8)
+            # mostly ref-matching so baselines are nontrivial
+            m = min(qlen, 600 - start)
+            rb[:m] = ref[start:start + m]
+            for _ in range(int(rng.integers(0, 6))):
+                rb[int(rng.integers(0, qlen))] = rng.choice(list(b"ACGT"))
+            rq = rng.integers(2, 60, size=qlen).astype(np.uint8)
+            read = ReadRecord("r", 0, 0, start, 60, cigar, bytes(rb), rq)
+            read_start = int(rng.integers(0, max(1, qlen - 15)))
+            ref_start = start + read_start
+            if ref_start >= 600:
+                continue
+            got = informative_set(read, read_start, ref, ref_start)
+            want = _informative_oracle(read, read_start, ref, ref_start)
+            np.testing.assert_array_equal(got, want, err_msg=f"case {t}")
