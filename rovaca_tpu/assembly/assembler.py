@@ -95,6 +95,11 @@ def finalize_region_reads(reads, span_start, span_end):
         r = clipping.hard_clip_to_region(r, span_start, span_end)
         if not len(r.bases) or r.cigar.is_empty:
             continue
+        if r is read:
+            # the reference copies every read into the region's BamDataPool
+            # (RegionManager.cpp:11-108): downstream steps (overlap qual
+            # zeroing) mutate quals, which must stay region-local
+            r = read.copy()
         out.append(r)
     out.sort(key=lambda r: (r.ref_id, r.pos, r.is_reverse, r.name, r.flag))
     return out
@@ -155,6 +160,13 @@ def _adjust_pair(a, b):
     if first_end_base is None or second_end_base is None or off2 is None:
         return
     n = min(first_end_base - off1, second_end_base - off2) + 1
+    # quals can be views over the BAM buffer or the pre-clip read; the
+    # records here are region-local (finalize copies), but their arrays
+    # may still alias shared storage — always mutate a private copy
+    for r in (first, second):
+        if not getattr(r, "_quals_private", False):
+            r.quals = np.array(r.quals)
+            r._quals_private = True
     for i in range(n):
         if first.bases[off1 + i] == second.bases[off2 + i]:
             first.quals[off1 + i] = min(first.quals[off1 + i],

@@ -85,11 +85,12 @@ class RegionCaller:
 
         if not region.is_active:
             if cfg.gvcf_mode:
-                # the reference finalizes reads before the active check
-                # (run_local_assemble runs first; non-active returns the
-                # finalized reads — haplotypecaller_engine.cpp:169-189)
+                # the reference finalizes reads AND corrects overlapping
+                # mate quals before the active check (hc_assemble_reads.c:
+                # 35-45; non-active returns right after)
                 fin = assembler.finalize_region_reads(reads, pad_start,
                                                       pad_stop)
+                assembler.adjust_overlapping_pair_quals(fin)
                 return self._reference_confidence_only(
                     region, fin, ref, contig, (pad_start, pad_stop))
             return []

@@ -323,9 +323,13 @@ class BQSRReadTransformer:
         return ctx_keys, cyc_keys
 
     def apply(self, read):
-        """Recalibrated copy of the read (bqsr_read_transformer.cpp:170)."""
-        rg_name = read.tags.get("RG", next(iter(self.rg_index), "rg"))
-        rg = self.rg_index.get(rg_name, 0)
+        """Recalibrated copy of the read (bqsr_read_transformer.cpp:170).
+
+        Read-group key: the reference's record_rg_covariate_value hardcodes
+        key = 0 for every read (bqsr_read_covarivates.cpp:5-12) — the RG aux
+        tag is never consulted, so all reads recalibrate against the FIRST
+        read group's tables. Reproduced verbatim for bit-equivalence."""
+        rg = 0
         rg_datum = self.rg_table.get(rg)
         new = read.copy()
         quals = new.quals

@@ -28,7 +28,8 @@ FLAG_SUPPLEMENTARY = 0x800
 class ReadRecord:
     __slots__ = ("name", "flag", "ref_id", "pos", "mapping_quality", "cigar",
                  "bases", "quals", "mate_ref_id", "mate_pos", "tlen", "tags",
-                 "contig", "hard_left", "hard_right", "_info_cache")
+                 "contig", "hard_left", "hard_right", "_one2one_cache",
+                 "_pileup_layout_cache", "_quals_private")
 
     def __init__(self, name, flag, ref_id, pos, mapping_quality, cigar,
                  bases, quals, mate_ref_id=-1, mate_pos=-1, tlen=0, tags=None,
@@ -51,9 +52,11 @@ class ReadRecord:
         # distances (read_pos_rank_sum_test.cpp:49-54); we track counts
         self.hard_left = hard_left
         self.hard_right = hard_right
-        # per-read memo for the GVCF indel-informativeness mask (the read
-        # is shared across overlapping regions; the mask is region-free)
-        self._info_cache = None
+        # per-read memos for the GVCF model (gapped one-to-one arrays and
+        # pileup layout — safe on region-local finalized copies)
+        self._one2one_cache = None
+        self._pileup_layout_cache = None
+        self._quals_private = False
 
     # --- flags ---
     @property

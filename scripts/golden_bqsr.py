@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 import golden_e2e
 
 
-def write_recal_table(path, quals, rg="rg1"):
+def write_recal_table(path, quals, rgs=("rg1", "rg2")):
     """A GATKReport exercising RG/QS/Context/Cycle lookups
     (format: bqsr_read_transformer.cpp:254-293 sscanf protocol)."""
     args_rows = [
@@ -56,35 +56,39 @@ def write_recal_table(path, quals, rg="rg1"):
     ]
     quant_rows = [(q, 1000, q) for q in range(94)]  # identity (ignored)
 
-    # RG row: estimated reported 37.0, slight excess errors
-    rg_rows = [(rg, "M", "36.5000", "37.0000", 1_000_000, 800.00)]
+    # RG rows: estimated reported 37.0, slight excess errors; the
+    # second group skews the other way to make RG lookups observable
+    rg_rows = [(rg, "M", f"{36.5 + 0.8 * k:.4f}", "37.0000",
+                1_000_000, 800.00) for k, rg in enumerate(rgs)]
 
     # QS rows: empirical = q - 1 for even q, q + 1 for odd (bounded)
     def phred_err(n, q):
         return round(n * 10 ** (-q / 10.0), 2)
 
     qs_rows = []
-    for q in sorted(quals):
-        emp = max(2, min(93, q - 1 if q % 2 == 0 else q + 1))
-        n = 500_000
-        qs_rows.append((rg, q, "M", f"{emp:.4f}", n, phred_err(n, emp)))
+    for k, rg in enumerate(rgs):
+        for q in sorted(quals):
+            emp = max(2, min(93, (q - 1 if q % 2 == 0 else q + 1) + k))
+            n = 500_000
+            qs_rows.append((rg, q, "M", f"{emp:.4f}", n, phred_err(n, emp)))
 
     # Context rows: all 16 2-mers at each qual, empirical +/- 2 by parity
     ctx_rows = []
     mers = ["".join(p) for p in itertools.product("ACGT", repeat=2)]
-    for q in sorted(quals):
-        for i, mer in enumerate(mers):
-            emp = max(2, min(93, q + (2 if i % 2 else -2)))
-            n = 40_000
-            ctx_rows.append((rg, q, mer, "Context", "M",
-                             f"{emp:.4f}", n, phred_err(n, emp)))
-    # Cycle rows: cycles 1..10 and -1..-10, empirical +/- 3
-    for q in sorted(quals):
-        for cyc in list(range(1, 11)) + list(range(-1, -11, -1)):
-            emp = max(2, min(93, q + (3 if cyc > 0 else -3)))
-            n = 60_000
-            ctx_rows.append((rg, q, cyc, "Cycle", "M",
-                             f"{emp:.4f}", n, phred_err(n, emp)))
+    for rg in rgs:
+        for q in sorted(quals):
+            for i, mer in enumerate(mers):
+                emp = max(2, min(93, q + (2 if i % 2 else -2)))
+                n = 40_000
+                ctx_rows.append((rg, q, mer, "Context", "M",
+                                 f"{emp:.4f}", n, phred_err(n, emp)))
+        # Cycle rows: cycles 1..N and -1..-N, empirical +/- 3
+        for q in sorted(quals):
+            for cyc in list(range(1, 101)) + list(range(-1, -101, -1)):
+                emp = max(2, min(93, q + (3 if cyc > 0 else -3)))
+                n = 60_000
+                ctx_rows.append((rg, q, cyc, "Cycle", "M",
+                                 f"{emp:.4f}", n, phred_err(n, emp)))
 
     def table(out, name, desc, header, rows, fmts):
         out.write(f"#:GATKTable:{len(header)}:{len(rows)}:"
@@ -120,7 +124,7 @@ def write_recal_table(path, quals, rg="rg1"):
 def generate(outdir, genome_len=60_000, coverage=25, seed=20260820):
     golden_e2e.generate(outdir, genome_len, coverage, seed)
     # quals present in simdata BAMs span ~20..40; cover generously
-    write_recal_table(os.path.join(outdir, "recal.table"), range(10, 51))
+    write_recal_table(os.path.join(outdir, "recal.table"), range(2, 51))
     print("recal table ->", os.path.join(outdir, "recal.table"))
 
 

@@ -79,16 +79,24 @@ def generate(outdir, genome_len=200_000, coverage=30, seed=20260819):
     hap1 = simdata.apply_variants(ref, hom_vars)
     hap2 = simdata.apply_variants(ref, all_vars)
 
-    n_per_hap = coverage * genome_len // 100 // 2
-    reads = (simdata.simulate_reads(rng, ref, hap1, contig, n_per_hap,
-                                    name_prefix="h1_")
-             + simdata.simulate_reads(rng, ref, hap2, contig, n_per_hap,
-                                      name_prefix="h2_"))
+    # paired-end error-model corpus: qual-correlated mismatches, indel
+    # errors, low-qual tails, adapter read-through soft clips, duplicates,
+    # secondary alignments, 2 read groups, MQ variation, downsampler
+    # hotspots (see simdata.simulate_fragments)
+    n_frags = coverage * genome_len // (2 * 100) // 2
+    read_groups = ("rg1", "rg2")
+    reads = (simdata.simulate_fragments(rng, ref, hap1, contig, n_frags,
+                                        name_prefix="h1_",
+                                        read_groups=read_groups)
+             + simdata.simulate_fragments(rng, ref, hap2, contig, n_frags,
+                                          name_prefix="h2_",
+                                          read_groups=read_groups))
 
     fasta = os.path.join(outdir, "ref.fa")
     bam = os.path.join(outdir, "sample.bam")
     simdata.write_fasta(fasta, {contig: ref})
-    simdata.write_test_bam(bam, reads, contig, genome_len)
+    simdata.write_test_bam(bam, reads, contig, genome_len,
+                           read_groups=read_groups)
     build_index(bam)
     with open(os.path.join(outdir, "truth.txt"), "w") as f:
         for (pos, r, a), zyg in truth:
