@@ -73,3 +73,20 @@ g++ -std=c++17 -O2 -g -o "$BIN/pairhmm_harness" \
     -lpairhmm -lgenotype -lutils -lbase -llogger \
     -l:libhts.so.3 -lz -lpthread
 echo "harness: $BIN/pairhmm_harness"
+
+echo "building assemble_harness + region_harness..."
+for H in assemble_harness region_harness; do
+    g++ -std=c++17 -O2 -g -o "$BIN/$H" "$REPO/refshim/$H.cpp" \
+        -I"$HC/apply" -I"$HC/apply/common" -I"$HC/apply/include" \
+        -I"$HC/apply/include/assemble" -I"$HC/common/assemble" \
+        -I"$HC/genotype" -I"$HC/pairhmm" -I"$HC/common" -I"$HC/common/utils" \
+        -I"$HC/common/base/include" -I"$HC" \
+        -I"$REF/third_lib/htslib/include" \
+        -I"$REF/third_lib/spdlog/include" \
+        -I"$REF/src/rovaca_logger" -I"$REF/src" \
+        -I"$REPO/refshim/boost_mini" \
+        -L"$LIBDIR" -Wl,-rpath,"$LIBDIR" \
+        -lassemble -lgenotype -lpairhmm -lutils -lbase -llogger \
+        -l:libhts.so.3 -lz -lpthread
+    echo "harness: $BIN/$H"
+done

@@ -239,7 +239,12 @@ def hard_clip_to_region(read, region_start, region_end):
         np.where(last_real >= 0, ref[np.maximum(last_real, 0)],
                  np.int64(read.pos - 1)),
         ref)
-    keep = np.nonzero((anchor >= region_start) & (anchor <= region_end))[0]
+    # the reference's left clip removes query bases only up to the base AT
+    # region_start-1 (clip_by_reference_coordinates left tail,
+    # read_clipper.cpp:79-85): an insertion between start-1 and start
+    # SURVIVES the clip — so insertion keep-bound is anchor >= start-1
+    lo = np.where(is_ins, region_start - 1, region_start)
+    keep = np.nonzero((anchor >= lo) & (anchor <= region_end))[0]
     if keep.size == n:
         return read
     return _rebuild(read, events, keep)
