@@ -45,7 +45,12 @@
 #include "simple_interval.h"
 #include "utils/adapter_utils.h"
 #include "utils/assembly_based_caller_utils.h"
+// test-harness access to private annotation fields (InfoData has only
+// setters; we need to read them back for golden diffs)
+#define private public
+#include "info_data.hpp"
 #include "variant.h"
+#undef private
 #include "allele.h"
 #include "genotype.h"
 #include "genotypes_context.hpp"
@@ -351,6 +356,13 @@ int main(int argc, char *argv[])
                 char qbuf[32];
                 snprintf(qbuf, sizeof qbuf, "%.2f", vc->get_phred_scaled_qual());
                 out << " QUAL=" << qbuf;
+                if (vc->info()) {
+                    char sbuf[64];
+                    snprintf(sbuf, sizeof sbuf, " SOR=%.5f FS=%.3f MQ=%.2f",
+                             vc->info()->_sor, vc->info()->_fs,
+                             vc->info()->_mq);
+                    out << sbuf;
+                }
                 pGenotypesContext gc = vc->genotype();
                 if (gc && gc->size() > 0) {
                     pGenotype g = gc->at(0);

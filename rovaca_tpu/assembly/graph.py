@@ -284,6 +284,12 @@ class ReadThreadingGraph:
         return (any(e.is_ref for e in v.out_edges.values())
                 or any(e.is_ref for e in v.in_edges.values()))
 
+    @staticmethod
+    def _has_ref_out_edge(v):
+        """is_reference_node (hc_assemble_base_graph.c:414-425): only a
+        reference OUT-edge qualifies (the ref sink does not)."""
+        return v is not None and any(e.is_ref for e in v.out_edges.values())
+
     def _path_bases(self, path, expand_source=False):
         out = []
         for i, v in enumerate(path):
@@ -315,6 +321,45 @@ class ReadThreadingGraph:
         if v is not None and v.out_degree > 1:
             return path
         return None
+
+    @staticmethod
+    def _heaviest_incoming_edge(v):
+        """Heaviest incoming edge with multiplicity > 1, or None
+        (hc_assemble_base_graph_get_heaviest_incoming_edge)."""
+        best = None
+        for _parent, e in v.in_edges.items():
+            if e.multiplicity == 1:
+                continue
+            if best is None or e.multiplicity > best.multiplicity:
+                best = e
+        return best
+
+    def _reference_path_downward(self, start, blacklisted_edge):
+        """Downward path from `start`: a reference edge when present, else
+        the single non-blacklisted outgoing edge; None on a cycle
+        (get_reference_path + get_next_reference_vertex with
+        allowNonRefPaths=1, hc_assemble_base_graph.c:212-309)."""
+        path = [start]
+        seen = {id(start)}
+        v = start
+        while True:
+            nxt = None
+            for w, e in v.out_edges.items():
+                if e.is_ref:
+                    nxt = w
+                    break
+            if nxt is None:
+                cand = [w for w, e in v.out_edges.items()
+                        if e is not blacklisted_edge]
+                nxt = cand[0] if len(cand) == 1 else None
+            if nxt is None:
+                break
+            if id(nxt) in seen:
+                return None
+            path.append(nxt)
+            seen.add(id(nxt))
+            v = nxt
+        return path
 
     def _reference_path_from(self, start, forward):
         """Vertices from `start` following reference edges."""
@@ -359,10 +404,15 @@ class ReadThreadingGraph:
                     or path[0] is self.ref_source):
                 continue
             lca = path[0]
-            if not self._is_reference_vertex(lca):
-                continue
-            ref_path = self._reference_path_from(lca, forward=True)
-            if len(ref_path) < 2:
+            # the LCA need NOT be a reference vertex: the downward "ref"
+            # path follows ref edges where present and otherwise the single
+            # non-blacklisted outgoing edge (get_next_reference_vertex with
+            # allowNonRefPaths, hc_assemble_base_graph.c:212-260) — this is
+            # what reconnects dangling tails that branch off ALT paths
+            blacklisted = (self._heaviest_incoming_edge(path[1])
+                           if len(path) > 1 else None)
+            ref_path = self._reference_path_downward(lca, blacklisted)
+            if ref_path is None or len(ref_path) < 2:
                 continue
             alt_seq = self._path_bases(path)
             ref_seq = self._path_bases(ref_path)
@@ -416,20 +466,33 @@ class ReadThreadingGraph:
         for v in list(self.vertices):
             if v.in_degree != 0 or v is self.ref_source:
                 continue
-            # walk down to the highest common descendant on the ref path
-            path = [v]
+            # walk down to the highest common descendant on the ref path;
+            # LOW-WEIGHT edges reset the collected path — a branch whose
+            # edges never reach the prune factor cannot be recovered
+            # (find_path_downwards_to_highest_common_descendant_of_
+            # reference, hc_assemble_base_graph.c:440-485). This is what
+            # keeps 1-read sequencing-error branches out of the graph.
+            path = []
             w = v
             ok = True
-            while not self._is_reference_vertex(w):
-                if w.out_degree != 1 or w.in_degree >= 2:
+            visited = {id(v)}
+            while (w is not None and w.out_degree
+                   and not (self._has_ref_out_edge(w) or w.out_degree != 1)):
+                (nxt, edge) = next(iter(w.out_edges.items()))
+                if edge.multiplicity < PRUNE_FACTOR:
+                    path = []
+                else:
+                    path.append(w)
+                w = nxt
+                if id(w) in visited:
                     ok = False
                     break
-                w = next(iter(w.out_edges))
-                if w in path:
-                    ok = False
-                    break
+                visited.add(id(w))
+            if w is not None:
                 path.append(w)
-            if not ok or len(path) < self.MIN_DANGLING_BRANCH_LENGTH + 1:
+            if not ok or not self._has_ref_out_edge(w):
+                continue
+            if len(path) < self.MIN_DANGLING_BRANCH_LENGTH + 1:
                 continue
             hcd = path[-1]
             if hcd is self.ref_sink:

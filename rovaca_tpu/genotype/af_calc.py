@@ -35,7 +35,12 @@ class AFCalculationResult:
             np.array(self.log10_p_no_variant)).item()
 
     def passes_threshold(self, allele, phred_conf_threshold):
-        return (self.log10_p_ref_by_allele[allele]
+        """log10 P(allele absent) + eps < -threshold/10
+        (af_calculation_result.cpp:30-33). The 1e-10 epsilon matters: for
+        an unsupported allele the posterior-of-absent is a tiny negative
+        log10 (~-1e-12), which without the epsilon reads as "plausible" and
+        stops the site from being monomorphic."""
+        return (self.log10_p_ref_by_allele[allele] + 1.0e-10
                 + phred_conf_threshold / 10.0) < 0
 
     def mle_count(self, allele):

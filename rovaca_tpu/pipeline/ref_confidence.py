@@ -492,10 +492,16 @@ def reference_confidence_records(obs, ref, contig, start, calls_by_pos,
         gpos = start + pos
         call = calls_by_pos.get(gpos)
         if call is not None:
+            # the reference walks EVERY pileup position and splices a call
+            # in at its start; positions inside the call's ref span still
+            # get hom-ref records (suppressed downstream by the combiner's
+            # next-available horizon) — two overlapping events both emit
+            # (calculate_ref_confidence, reference_confidence_model.cpp:
+            # 62-72; suppression: block_combiner.cpp:147-156)
             close_run(pos)
             run_start = None
             out.append(call)
-            pos += max(1, len(call.ref.bases))
+            pos += 1
             continue
         if run_start is None:
             run_start = pos

@@ -65,6 +65,19 @@ class PairHMMScheduler:
         self.dispatch()
         return self.collect()
 
+    # device-launch shape discipline: every jit shape comes from this small
+    # closed set, so a cold run compiles a handful of kernels (cacheable via
+    # the persistent compile cache) instead of one per flush-group size
+    NR_MAX = 128      # read tiles per launch (128 x 128 reads)
+    NH_MAX = 32       # hap tiles per launch (32 x 8 haps)
+    G_MAX = 1024      # (hap-tile, read-tile) pairs per launch
+    NR_LADDER = (8, 32, 128)
+    NH_LADDER = (8, 32)
+    G_LADDER = (64, 256, 1024)
+    # below this many total tiles a TPU round-trip (tunnel latency +
+    # possible compile) loses to the host XLA path — fall back
+    SMALL_TILES = 48
+
     def dispatch(self):
         """Build batches and enqueue all device work WITHOUT fetching.
 
@@ -72,10 +85,19 @@ class PairHMMScheduler:
         previous window) while the device sweeps this one — the TPU
         analogue of the reference's producer/consumer thread overlap
         (haplotypecaller.cpp:117-146)."""
+        import os
+
         import jax
 
+        est_tiles = sum(
+            (-(-len(j.reads) // prep.READ_TILE))
+            * (-(-len(j.haps) // prep.HAP_TILE)) for j in self.jobs)
+        small_floor = int(os.environ.get("ROVACA_TPU_MIN_TILES",
+                                         str(self.SMALL_TILES)))
         use_indexed = (self.engine in ("auto", "pallas")
-                       and jax.default_backend() == "tpu")
+                       and jax.default_backend() == "tpu"
+                       and (self.engine == "pallas"
+                            or est_tiles >= small_floor))
         if use_indexed:
             from ..ops.pairhmm import compact
             for job in self.jobs:
@@ -88,7 +110,8 @@ class PairHMMScheduler:
                 job.batch = prep.build_pair_batch(
                     job.reads, job.haps, pcr_model=job.pcr_model,
                     min_quality_threshold=self.mqt)
-            self._collect_fn = self._dispatch_single()
+            self._collect_fn = self._dispatch_single(
+                force_cpu=jax.default_backend() == "tpu")
 
     def collect(self):
         """Fetch + postprocess everything dispatched; {key: (lik, kept)}."""
@@ -111,27 +134,39 @@ class PairHMMScheduler:
         kept = np.nonzero(~drop)[0]
         job.result = (lik_rh[kept].T.copy(), kept)
 
-    def _dispatch_single(self):
+    def _dispatch_single(self, force_cpu=False):
         """Per-job kernel launches, dispatched round-robin across local
-        devices, all enqueued before the first fetch."""
+        devices, all enqueued before the first fetch. force_cpu pins the
+        work to the host CPU backend (small-input fallback on TPU
+        sessions: a tunnel round-trip would dominate)."""
         import jax
         from ..ops.pairhmm.api import default_engine
         from ..ops.pairhmm.kernel import pairhmm_pallas
         from ..ops.pairhmm.xla import pairhmm_xla
 
         engine = default_engine() if self.engine == "auto" else self.engine
+        if force_cpu and engine in ("pallas", "xla"):
+            engine = "xla"
         if engine == "pallas":
             fn = pairhmm_pallas
         elif engine == "pallas_interpret":
             fn = lambda *a: pairhmm_pallas(*a, interpret=True)  # noqa: E731
         else:
             fn = pairhmm_xla
-        devices = self._devices()
+        if force_cpu:
+            try:
+                devices = [jax.devices("cpu")[0]]
+            except RuntimeError:
+                devices = self._devices()
+        else:
+            devices = self._devices()
         pending = []
         for i, job in enumerate(self.jobs):
             b = job.batch
             args = (b.trans, b.rbase, b.rlen, b.hbase, b.hlen)
-            if len(devices) > 1:
+            if force_cpu and devices:
+                args = tuple(jax.device_put(a, devices[0]) for a in args)
+            elif len(devices) > 1:
                 dev = devices[i % len(devices)]
                 args = tuple(jax.device_put(a, dev) for a in args)
             pending.append((job, fn(*args)))
@@ -142,8 +177,47 @@ class PairHMMScheduler:
                                   job.batch.result_matrix(np.asarray(out)))
         return collect
 
+    @classmethod
+    def _ladder(cls, n, ladder):
+        for v in ladder:
+            if v >= n:
+                return v
+        return ladder[-1]
+
+    def _pack_launches(self):
+        """Greedy-pack jobs of a (Lr, Lh) bucket into launches bounded by
+        (NR_MAX, NH_MAX, G_MAX); each launch pads its tile stacks and pair
+        count UP the fixed ladders, so every jit shape belongs to the small
+        closed set {Lr} x {Lh} x NR_LADDER x NH_LADDER x G_LADDER."""
+        groups = {}
+        for job in self.jobs:
+            b = job.batch
+            groups.setdefault((b.max_read_len, b.max_hap_len),
+                              []).append(job)
+        launches = []
+        for (lr, lh), jobs in groups.items():
+            cur, rt, ht, pr = [], 0, 0, 0
+            for job in jobs:
+                b = job.batch
+                jp = b.gh * b.gr
+                assert (b.gr <= self.NR_MAX and b.gh <= self.NH_MAX
+                        and jp <= self.G_MAX), \
+                    (b.gr, b.gh, jp, "region exceeds launch envelope")
+                if cur and (rt + b.gr > self.NR_MAX
+                            or ht + b.gh > self.NH_MAX
+                            or pr + jp > self.G_MAX):
+                    launches.append(((lr, lh), cur))
+                    cur, rt, ht, pr = [], 0, 0, 0
+                cur.append(job)
+                rt += b.gr
+                ht += b.gh
+                pr += jp
+            if cur:
+                launches.append(((lr, lh), cur))
+        return launches
+
     def _dispatch_indexed(self):
-        """Group jobs by (Lr, Lh) bucket; one indexed launch per group.
+        """Pack jobs into canonical-shape indexed launches.
 
         Uses the compact integer layout (ops/pairhmm/compact.py): channels
         and lane-broadcast hap tiles materialize on device, so the
@@ -152,18 +226,12 @@ class PairHMMScheduler:
         import jax.numpy as jnp
         from ..ops.pairhmm.compact import pairhmm_indexed_compact
 
-        groups = {}
-        for job in self.jobs:
-            b = job.batch
-            groups.setdefault((b.max_read_len, b.max_hap_len),
-                              []).append(job)
-
-        # dispatch every bucket before fetching any result: device work and
-        # transfer latency overlap across buckets (and across devices on a
-        # pod-slice host — buckets round-robin over local chips)
+        # dispatch every launch before fetching any result: device work and
+        # transfer latency overlap across launches (and across devices on a
+        # pod-slice host — launches round-robin over local chips)
         devices = self._devices()
         pending = []
-        for gi, ((lr, lh), jobs) in enumerate(groups.items()):
+        for gi, ((lr, lh), jobs) in enumerate(self._pack_launches()):
             q_t, gi_t, gc_t, rbase, rlen, hcode, hlen = ([] for _ in range(7))
             pairs = []        # (job, h_tile_global, r_tile_global)
             for job in jobs:
@@ -183,28 +251,27 @@ class PairHMMScheduler:
                     for rr in range(b.gr):
                         pairs.append((job, h_off + hh, r_off + rr))
 
-            G = len(pairs)
-            G_pad = 1 << max(0, (G - 1).bit_length())  # pow2 bucket
+            G_pad = self._ladder(len(pairs), self.G_LADDER)
             hidx = np.zeros(G_pad, dtype=np.int32)
             ridx = np.zeros(G_pad, dtype=np.int32)
             for i, (_, hh, rr) in enumerate(pairs):
                 hidx[i] = hh
                 ridx[i] = rr
 
-            def stack_pow2(tiles):
-                # pad the stacked tile count to a pow2 so jit shapes come
-                # from a small closed set (otherwise every flush group is a
-                # fresh compile); padding tiles are never indexed by
-                # hidx/ridx, they only ride the transfer
-                n = len(tiles)
-                n_pad = 1 << max(0, (n - 1).bit_length())
+            nr_pad = self._ladder(len(rlen), self.NR_LADDER)
+            nh_pad = self._ladder(len(hlen), self.NH_LADDER)
+
+            def stack_to(tiles, n_pad):
+                # padding tiles are never indexed by hidx/ridx; they only
+                # ride the transfer
                 out = np.zeros((n_pad,) + tiles[0].shape, tiles[0].dtype)
-                out[:n] = np.stack(tiles)
+                out[:len(tiles)] = np.stack(tiles)
                 return out
 
-            args = (stack_pow2(q_t), stack_pow2(gi_t), stack_pow2(gc_t),
-                    stack_pow2(rbase), stack_pow2(rlen),
-                    stack_pow2(hcode), stack_pow2(hlen), hidx, ridx)
+            args = (stack_to(q_t, nr_pad), stack_to(gi_t, nr_pad),
+                    stack_to(gc_t, nr_pad), stack_to(rbase, nr_pad),
+                    stack_to(rlen, nr_pad), stack_to(hcode, nh_pad),
+                    stack_to(hlen, nh_pad), hidx, ridx)
             if len(devices) > 1:
                 dev = devices[gi % len(devices)]
                 args = tuple(jax.device_put(a, dev) for a in args)
@@ -214,19 +281,22 @@ class PairHMMScheduler:
             pending.append((jobs, pairs, device_out))
 
         def collect():
+            per_job = {}
+            raw_by_job = {}
             for jobs, pairs, device_out in pending:
                 raw = np.asarray(device_out)
-                # scatter per-job results back into (GH, GR, 8, 128) layouts
-                per_job = {}
                 for i, (job, hh, rr) in enumerate(pairs):
                     per_job.setdefault(id(job), {})[(hh, rr)] = raw[i]
                 for job in jobs:
-                    b = job.batch
-                    full = np.zeros((b.gh, b.gr, 8, 128), dtype=np.float32)
-                    tiles = per_job[id(job)]
-                    h_off = min(h for h, _ in tiles)
-                    r_off = min(r for _, r in tiles)
-                    for (hh, rr), tile in tiles.items():
-                        full[hh - h_off, rr - r_off] = tile
-                    self._postprocess(job, b.result_matrix(full))
+                    raw_by_job[id(job)] = job
+            # a job's tiles all live in one launch (packing is job-atomic)
+            for jid, tiles in per_job.items():
+                job = raw_by_job[jid]
+                b = job.batch
+                full = np.zeros((b.gh, b.gr, 8, 128), dtype=np.float32)
+                h_off = min(h for h, _ in tiles)
+                r_off = min(r for _, r in tiles)
+                for (hh, rr), tile in tiles.items():
+                    full[hh - h_off, rr - r_off] = tile
+                self._postprocess(job, b.result_matrix(full))
         return collect

@@ -233,6 +233,7 @@ def parse_sam_line(line, contig="chr1"):
     return ReadRecord(name=f[0], flag=int(f[1]), ref_id=0, pos=int(f[3]) - 1,
                       mapping_quality=int(f[4]), cigar=f[5], bases=f[9],
                       quals=quals, mate_pos=mate_pos, tlen=int(f[8]),
+                      mate_ref_id=0 if f[6] != "*" else -1,
                       contig=contig)
 
 

@@ -304,3 +304,47 @@ class TestQualMods:
     def test_quals_capped_by_mq_and_floored(self):
         q = prep.modify_read_quals([40, 17, 5, 30], mapping_quality=35)
         np.testing.assert_array_equal(q, [35, 6, 6, 30])
+
+
+class TestSchedulerPacking:
+    """Launch packing must respect the canonical shape envelope."""
+
+    def _mk_jobs(self, shapes):
+        import dataclasses
+        from rovaca_tpu.pipeline.scheduler import PairHMMScheduler, RegionJob
+
+        @dataclasses.dataclass
+        class FakeBatch:
+            gr: int
+            gh: int
+            max_read_len: int = 128
+            max_hap_len: int = 256
+
+        s = PairHMMScheduler()
+        for i, (gr, gh) in enumerate(shapes):
+            j = RegionJob(key=i, reads=[], haps=[], pcr_model="NONE")
+            j.batch = FakeBatch(gr=gr, gh=gh)
+            s.jobs.append(j)
+        return s
+
+    def test_pack_respects_envelope(self):
+        from rovaca_tpu.pipeline.scheduler import PairHMMScheduler
+        s = self._mk_jobs([(3, 2)] * 100)  # 100 jobs, 6 pairs each
+        launches = s._pack_launches()
+        for (lr, lh), jobs in launches:
+            rt = sum(j.batch.gr for j in jobs)
+            ht = sum(j.batch.gh for j in jobs)
+            pr = sum(j.batch.gr * j.batch.gh for j in jobs)
+            assert rt <= PairHMMScheduler.NR_MAX
+            assert ht <= PairHMMScheduler.NH_MAX
+            assert pr <= PairHMMScheduler.G_MAX
+        # every job lands in exactly one launch
+        seen = [j.key for _, jobs in launches for j in jobs]
+        assert sorted(seen) == list(range(100))
+
+    def test_ladder_is_closed_set(self):
+        from rovaca_tpu.pipeline.scheduler import PairHMMScheduler as S
+        for n in range(1, S.NR_MAX + 1):
+            assert S._ladder(n, S.NR_LADDER) in S.NR_LADDER
+        for n in range(1, S.G_MAX + 1):
+            assert S._ladder(n, S.G_LADDER) in S.G_LADDER
