@@ -131,8 +131,11 @@ class ReadThreadingGraph:
         if is_ref:
             start = 0
         else:
+            # the reference's start scan EXCLUDES the final kmer position
+            # (find_seq_kmer_start: i < len - kmer,
+            # hc_assemble_read_threading_graph.c:126-146)
             start = None
-            for i in range(len(seq) - k + 1):
+            for i in range(len(seq) - k):
                 if seq[i:i + k] not in self.non_unique:
                     start = i
                     break
@@ -165,7 +168,16 @@ class ReadThreadingGraph:
                     target = cand
                     break
             if target is None:
-                target = self._get_or_create(seq[i:i + k])
+                kmer = seq[i:i + k]
+                if (not is_ref and self.ref_source is not None
+                        and kmer == self.ref_source.kmer):
+                    # never merge a read path back into the reference
+                    # SOURCE vertex — a fresh duplicate is created instead
+                    # (get_kmer_vertex, hc_assemble_read_threading_graph.c:
+                    # 235-250)
+                    target = self._new_vertex(kmer, unique=False)
+                else:
+                    target = self._get_or_create(kmer)
                 e = Edge(0, False)
                 v.out_edges[target] = e
                 target.in_edges[v] = e
@@ -219,16 +231,23 @@ class ReadThreadingGraph:
     def prune_low_weight_chains(self, prune_factor=PRUNE_FACTOR):
         """Remove linear chains where every edge has multiplicity <
         prune_factor and none is a reference edge (hc_assemble_chain_pruner.c).
-        """
-        def is_chain_internal(v):
-            return v.in_degree == 1 and v.out_degree == 1
 
-        removed = []
-        for u in list(self.vertices):
-            if is_chain_internal(u):
-                continue
-            for v0, e0 in list(u.out_edges.items()):
-                # walk the chain starting with edge u->v0
+        Discovery and removal are TWO phases: chains are enumerated from the
+        graph sources (chain ends become new chain starts) on the FROZEN
+        graph, then removed together. Interleaving them is order-dependent:
+        removing one of two error paths that merge before a supported tail
+        degrades the merge vertex to a pass-through, and the second chain's
+        walk then runs into the supported tail and is spared
+        (hc_assemble_chain_pruner.c:28-60 collects all_path first)."""
+        chain_starts = [v for v in self.vertices
+                        if v.in_degree == 0 and v.out_degree]
+        seen_starts = set(id(v) for v in chain_starts)
+        chains = []
+        qi = 0
+        while qi < len(chain_starts):
+            u = chain_starts[qi]
+            qi += 1
+            for v0, e0 in u.out_edges.items():
                 chain = [(u, v0, e0)]
                 last = v0
                 while (last.out_degree == 1 and last.in_degree <= 1
@@ -236,15 +255,21 @@ class ReadThreadingGraph:
                     (nxt, e) = next(iter(last.out_edges.items()))
                     chain.append((last, nxt, e))
                     last = nxt
-                if all(e.multiplicity < prune_factor and not e.is_ref
-                       for _, _, e in chain):
-                    for a, b, e in chain:
-                        if b in a.out_edges:
-                            del a.out_edges[b]
-                            del b.in_edges[a]
-                    removed.append(chain)
+                chains.append(chain)
+                if id(last) not in seen_starts:
+                    seen_starts.add(id(last))
+                    chain_starts.append(last)
+        removed = 0
+        for chain in chains:
+            if all(e.multiplicity < prune_factor and not e.is_ref
+                   for _, _, e in chain):
+                for a, b, e in chain:
+                    if a.out_edges.get(b) is e:
+                        del a.out_edges[b]
+                        del b.in_edges[a]
+                removed += 1
         self.remove_singleton_orphans()
-        return len(removed)
+        return removed
 
     def remove_singleton_orphans(self):
         dead = [v for v in self.vertices
