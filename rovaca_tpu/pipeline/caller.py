@@ -335,6 +335,15 @@ class HaplotypeCaller:
         end_arr = np.fromiter((r.end for r in reads), np.int64, len(reads))
         pos_sorted = bool(np.all(pos_arr[1:] >= pos_arr[:-1]))
 
+        if not getattr(self, "_prewarmed", False) and \
+                args.pairhmm_engine in ("auto", "pallas"):
+            # compile the canonical device launch shapes in the background
+            # while the host runs activity profiling + assembly below
+            self._prewarmed = True
+            from .scheduler import PairHMMScheduler
+            PairHMMScheduler.prewarm_async(
+                int(max(len(r.bases) for r in reads[:4096])))
+
         def overlapping(p_arr, e_arr, items, start, stop, sorted_ok):
             if sorted_ok:
                 hi_i = int(np.searchsorted(p_arr, stop))

@@ -69,10 +69,10 @@ class PairHMMScheduler:
     # closed set, so a cold run compiles a handful of kernels (cacheable via
     # the persistent compile cache) instead of one per flush-group size
     NR_MAX = 128      # read tiles per launch (128 x 128 reads)
-    NH_MAX = 32       # hap tiles per launch (32 x 8 haps)
+    NH_MAX = 128      # hap tiles per launch (128 x 8 haps; ~3KB/tile wire)
     G_MAX = 1024      # (hap-tile, read-tile) pairs per launch
     NR_LADDER = (8, 32, 128)
-    NH_LADDER = (8, 32)
+    NH_LADDER = (8, 32, 128)
     G_LADDER = (64, 256, 1024)
     # below this many total tiles a TPU round-trip (tunnel latency +
     # possible compile) loses to the host XLA path — fall back
@@ -184,6 +184,68 @@ class PairHMMScheduler:
                 return v
         return ladder[-1]
 
+    @staticmethod
+    def _fixed_shapes():
+        """Full-envelope launches on accelerators (compiles are the scarce
+        resource there); size-laddered launches on host CPU (where padding
+        tiles cost real compute)."""
+        import os
+
+        import jax
+        env = os.environ.get("ROVACA_FIXED_LAUNCH")
+        if env is not None:
+            return env not in ("0", "false", "")
+        return jax.default_backend() not in ("cpu",)
+
+    @classmethod
+    def prewarm_async(cls, read_len, hap_lens=(384, 512)):
+        """Kick off background compilation of the canonical launch shapes.
+
+        On a tunnel-attached chip each new jit shape costs ~25s of remote
+        XLA compile; overlapping those with the host's BAM/assembly work
+        hides the cold-start the reference doesn't have (its SIMD needs no
+        compile step; reference: src/haplotypecaller/pairhmm/
+        pairhmm_engine.cpp:22-53 dispatches function pointers at startup).
+        Compiled executables land in the persistent cache, so this is
+        one-time per machine. Returns the started threads."""
+        import threading
+
+        import jax
+
+        if jax.default_backend() == "cpu" or not cls._fixed_shapes():
+            return []
+        from ..ops.pairhmm import prep
+        from ..ops.pairhmm.compact import build_pair_batch_compact
+
+        probe = build_pair_batch_compact.__defaults__
+        len_buckets, hap_len_buckets = probe[-2], probe[-1]
+        Lr = next((b for b in len_buckets if b >= read_len),
+                  prep._round_up(read_len, 128))
+
+        def compile_shape(lh):
+            try:
+                from ..ops.pairhmm.compact import pairhmm_indexed_compact
+                q = np.zeros((cls.NR_MAX, Lr, 128), np.uint8)
+                rb = np.zeros((cls.NR_MAX, Lr, 128), np.int8)
+                rl = np.zeros((cls.NR_MAX, 1, 128), np.int32)
+                hc = np.zeros((cls.NH_MAX, lh, 8), np.int8)
+                hl = np.zeros((cls.NH_MAX, 8, 1), np.int32)
+                gidx = np.zeros(cls.G_MAX, np.int32)
+                pairhmm_indexed_compact(q, q, q, rb, rl, hc, hl,
+                                        gidx, gidx).block_until_ready()
+            except Exception:   # prewarm is best-effort
+                pass
+
+        threads = []
+        for lh in hap_lens:
+            if lh not in hap_len_buckets:
+                continue
+            t = threading.Thread(target=compile_shape, args=(lh,),
+                                 name=f"prewarm-{Lr}x{lh}", daemon=True)
+            t.start()
+            threads.append(t)
+        return threads
+
     def _pack_launches(self):
         """Greedy-pack jobs of a (Lr, Lh) bucket into launches bounded by
         (NR_MAX, NH_MAX, G_MAX); each launch pads its tile stacks and pair
@@ -251,15 +313,24 @@ class PairHMMScheduler:
                     for rr in range(b.gr):
                         pairs.append((job, h_off + hh, r_off + rr))
 
-            G_pad = self._ladder(len(pairs), self.G_LADDER)
+            if self._fixed_shapes():
+                # tunnel-attached TPU: a recompile (~25s over the wire)
+                # costs far more than padded transfer/compute, so every
+                # launch uses the full envelope -> jit shapes = {Lr}x{Lh}
+                G_pad = self.G_MAX
+            else:
+                G_pad = self._ladder(len(pairs), self.G_LADDER)
             hidx = np.zeros(G_pad, dtype=np.int32)
             ridx = np.zeros(G_pad, dtype=np.int32)
             for i, (_, hh, rr) in enumerate(pairs):
                 hidx[i] = hh
                 ridx[i] = rr
 
-            nr_pad = self._ladder(len(rlen), self.NR_LADDER)
-            nh_pad = self._ladder(len(hlen), self.NH_LADDER)
+            if self._fixed_shapes():
+                nr_pad, nh_pad = self.NR_MAX, self.NH_MAX
+            else:
+                nr_pad = self._ladder(len(rlen), self.NR_LADDER)
+                nh_pad = self._ladder(len(hlen), self.NH_LADDER)
 
             def stack_to(tiles, n_pad):
                 # padding tiles are never indexed by hidx/ridx; they only
