@@ -91,3 +91,18 @@ def pairhmm_xla(trans, rbase, rlen, hbase, hlen):
     over_reads = jax.vmap(_forward_one, in_axes=(0, 0, 0, None, None))
     over_haps = jax.vmap(over_reads, in_axes=(None, None, None, 0, 0))
     return over_haps(trans, rbase, rlen, hbase, hlen)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def pairhmm_xla_indexed(trans, rbase, rlen, hbase, hlen, hidx, ridx):
+    """Indexed-pair ABI of the Pallas indexed kernel, in pure XLA.
+
+    Same contract as indexed.pairhmm_pallas_indexed: tile stacks plus a
+    (G,) pair list of (hap-tile, read-tile) indices; returns (G, 8, 128)
+    raw probabilities. Gathers ride the device, so this is the exact
+    production wire format scored by the scan path — used on CPU meshes
+    (multi-chip dryrun) where Pallas TPU kernels don't lower.
+    """
+    over_pairs = jax.vmap(_forward_one, in_axes=(0, 0, 0, 0, 0))
+    return over_pairs(trans[ridx], rbase[ridx], rlen[ridx],
+                      hbase[hidx], hlen[hidx])

@@ -9,6 +9,13 @@ reference's source_id-ordered writer merge (reference:
 src/haplotypecaller/writer/writer.cpp:147-196) expressed as an ICI
 collective.
 
+The device step consumes the PRODUCTION wire format: the compact integer
+launch layout built by ops/pairhmm/compact.py (per-base quals/gap
+phreds/base codes + an indexed (hap-tile, read-tile) pair list), with
+probability channels materialized on device. Regions may span multiple
+read/hap tiles. The scorer is the Pallas indexed kernel on TPU meshes and
+the identical-ABI XLA scan path on CPU meshes (virtual-device dryrun).
+
 `pipeline_dryrun(n_devices)` drives regions → assembly → sharded PairHMM →
 genotyping → ordered merge end-to-end on an n-device mesh and asserts the
 merged records equal an unsharded run — the driver executes it on N virtual
@@ -21,55 +28,53 @@ from .. import constants as C
 from .sharding import make_data_mesh, shard_intervals
 
 _DRY_LR = 64     # fixed read-length bucket for the dryrun step
-_DRY_LH = 128    # fixed hap-length bucket
+_DRY_LH = 512    # fixed hap-length bucket (indel regions re-pad haps)
+_DRY_NR = 32     # read tiles per shard launch
+_DRY_NH = 16     # hap tiles per shard launch
+_DRY_G = 96      # (hap-tile, read-tile) pairs per shard launch
 
 
 # --------------------------------------------------------------------------
 # device step
 # --------------------------------------------------------------------------
 
-def sharded_pipeline_step(mesh, trans, rbase, rlen, hbase, hlen,
-                          axis_name="data"):
-    """One jitted multi-device step over per-shard region batches.
+def sharded_pipeline_step(mesh, q, gi, gc, rbase, rlen, hcode, hlen,
+                          hidx, ridx, axis_name="data"):
+    """One jitted multi-device step over per-shard compact indexed launches.
 
-    Inputs carry [S, R, ...] leading dims (S = mesh size, R = padded
-    per-shard region count); every region is a single (8-hap x 128-read)
-    tile. Returns raw scores [S, R, 1, 1, 8, 128] gathered on every device
-    in shard order.
+    Inputs carry an [S, ...] leading dim (S = mesh size): per shard, the
+    compact launch arrays exactly as the production scheduler ships them
+    (scheduler._dispatch_indexed). Returns raw scores [S, G, 8, 128]
+    gathered on every device in shard order.
     """
     import jax
     from jax.sharding import PartitionSpec as P
 
-    from ..ops.pairhmm.xla import pairhmm_xla
+    from ..ops.pairhmm.compact import broadcast_haps, materialize_channels
+    if jax.default_backend() == "tpu":
+        from ..ops.pairhmm.indexed import pairhmm_pallas_indexed as scorer
+    else:
+        from ..ops.pairhmm.xla import pairhmm_xla_indexed as scorer
 
-    def step(trans, rbase, rlen, hbase, hlen):
-        raw = jax.vmap(pairhmm_xla)(trans[0], rbase[0], rlen[0], hbase[0],
-                                    hlen[0])
+    def step(q, gi, gc, rbase, rlen, hcode, hlen, hidx, ridx):
+        trans = materialize_channels(q[0], gi[0], gc[0])
+        hbase = broadcast_haps(hcode[0])
+        raw = scorer(trans, rbase[0].astype(np.int32), rlen[0],
+                     hbase, hlen[0], hidx[0], ridx[0])
         return jax.lax.all_gather(raw, axis_name)
 
     spec = P(axis_name)
     fn = jax.shard_map(step, mesh=mesh,
-                       in_specs=(spec,) * 5, out_specs=P(),
+                       in_specs=(spec,) * 9, out_specs=P(),
                        check_vma=False)
-    return jax.jit(fn)(trans, rbase, rlen, hbase, hlen)
+    return jax.jit(fn)(q, gi, gc, rbase, rlen, hcode, hlen, hidx, ridx)
 
 
-def _single_tile_batch(reads, haps, pcr_model):
-    from ..ops.pairhmm import prep
-    batch = prep.build_pair_batch(reads, haps, pcr_model=pcr_model,
-                                  len_buckets=(_DRY_LR,),
-                                  hap_len_buckets=(_DRY_LH,))
-    if batch.gr != 1 or batch.gh != 1 or batch.trans.shape[1] != _DRY_LR:
-        raise ValueError("dryrun regions must fit one tile "
-                         f"(gr={batch.gr}, gh={batch.gh})")
-    return batch
-
-
-def _postprocess(batch, raw_tile, reads, haps, pcr_model, mqt):
-    """scheduler._postprocess equivalent for one region."""
+def _postprocess(batch, raw, reads, haps, pcr_model, mqt):
+    """scheduler._postprocess equivalent for one region (multi-tile)."""
     from ..ops.pairhmm.api import (log10_with_rescue, normalize_likelihoods,
                                    poorly_modelled_mask)
-    lik_hr = log10_with_rescue(batch.result_matrix(raw_tile), reads, haps,
+    lik_hr = log10_with_rescue(batch.result_matrix(raw), reads, haps,
                                pcr_model=pcr_model,
                                min_quality_threshold=mqt)
     lik_rh = normalize_likelihoods(lik_hr.T)
@@ -83,31 +88,71 @@ def _postprocess(batch, raw_tile, reads, haps, pcr_model, mqt):
 # --------------------------------------------------------------------------
 
 def _simulate(genome_len=16000, coverage=24, read_len=50, seed=20260819):
-    """Tiny in-memory diploid case: SNP-only so reads are pure-match."""
+    """Tiny in-memory diploid case with SNPs AND indels; reads sampled
+    from the alt haplotype get real cigars by SW alignment to the
+    reference (the same GATK-exact SW the production pipeline uses)."""
+    from ..assembly.sw import (READ_TO_HAPLOTYPE_PARAMS, OverhangStrategy,
+                               sw_align)
     from ..reads.record import ReadRecord
 
     rng = np.random.default_rng(seed)
     contig = "chr20"
     ref = "".join(rng.choice(list("ACGT"), size=genome_len))
-    # one het SNP every ~1500bp
+    # het SNP / insertion / deletion alternating every ~1500bp
     truth = []
-    for pos in range(700, genome_len - 700, 1500):
-        alt = "ACGT"[("ACGT".index(ref[pos]) + 1) % 4]
-        truth.append((pos, ref[pos], alt))
-    alt_ref = list(ref)
-    for pos, _r, a in truth:
-        alt_ref[pos] = a
+    kinds = ["snp", "snp", "ins", "snp", "del"]
+    for n, pos in enumerate(range(700, genome_len - 700, 1500)):
+        kind = kinds[n % len(kinds)]
+        if kind == "snp":
+            alt = "ACGT"[("ACGT".index(ref[pos]) + 1) % 4]
+            truth.append((pos, ref[pos], alt))
+        elif kind == "ins":
+            truth.append((pos, ref[pos], ref[pos] + "ACT"))
+        else:
+            truth.append((pos, ref[pos:pos + 4], ref[pos]))
+    alt_ref = []
+    prev = 0
+    for pos, r, a in truth:
+        alt_ref.append(ref[prev:pos])
+        alt_ref.append(a)
+        prev = pos + len(r)
+    alt_ref.append(ref[prev:])
     alt_ref = "".join(alt_ref)
 
+    # projection of alt-hap coordinates to reference coordinates
+    shifts = []   # (alt_pos_after, ref_delta)
+    delta = 0
+    for pos, r, a in truth:
+        delta += len(a) - len(r)
+        shifts.append((pos + delta, len(a) - len(r)))
+
+    def ref_pos_of(alt_pos):
+        d = 0
+        for ap, dd in shifts:
+            if alt_pos >= ap:
+                d += dd
+        return alt_pos - d
+
     reads = []
-    n_reads = coverage * genome_len // read_len // 2
     for hap_i, hap in enumerate((ref, alt_ref)):
+        n_reads = coverage * len(hap) // read_len // 2
         for i in range(n_reads):
-            s = int(rng.integers(0, genome_len - read_len))
+            s = int(rng.integers(0, len(hap) - read_len))
+            bases = hap[s:s + read_len]
+            if hap_i == 0:
+                pos, cigar = s, f"{read_len}M"
+            else:
+                # align read to the reference around its projected start
+                rp = ref_pos_of(s)
+                lo = max(0, rp - 12)
+                seg = ref[lo:rp + read_len + 12]
+                res = sw_align(seg, bases, READ_TO_HAPLOTYPE_PARAMS,
+                               OverhangStrategy.SOFTCLIP)
+                pos = lo + res.alignment_offset
+                cigar = str(res.cigar)
             reads.append(ReadRecord(
-                name=f"h{hap_i}_{i}", flag=0, ref_id=0, pos=s,
-                mapping_quality=60, cigar=f"{read_len}M",
-                bases=hap[s:s + read_len],
+                name=f"h{hap_i}_{i}", flag=0, ref_id=0, pos=pos,
+                mapping_quality=60, cigar=cigar, bases=bases,
                 quals=rng.integers(30, 40, size=read_len),
                 contig=contig))
     reads.sort(key=lambda r: r.pos)
@@ -129,6 +174,53 @@ def _record_key(v):
         if v.genotypes else ()
     return (v.contig, v.start, bytes(v.ref.bases),
             tuple(bytes(a.bases) for a in v.alts), gt)
+
+
+def _pack_shard_launch(entries, pcr_model):
+    """Pack a shard's region batches into ONE compact indexed launch with
+    the production layout (mirrors scheduler._dispatch_indexed packing)."""
+    from ..ops.pairhmm.compact import build_pair_batch_compact
+
+    q = np.zeros((_DRY_NR, _DRY_LR, 128), np.uint8)
+    gi = np.zeros((_DRY_NR, _DRY_LR, 128), np.uint8)
+    gc = np.zeros((_DRY_NR, _DRY_LR, 128), np.uint8)
+    rbase = np.zeros((_DRY_NR, _DRY_LR, 128), np.int8)
+    # padding slots get 1-base lengths so the kernel stays well-defined
+    rlen = np.ones((_DRY_NR, 1, 128), np.int32)
+    hcode = np.zeros((_DRY_NH, _DRY_LH, 8), np.int8)
+    hlen = np.ones((_DRY_NH, 8, 1), np.int32)
+    hidx = np.zeros(_DRY_G, np.int32)
+    ridx = np.zeros(_DRY_G, np.int32)
+
+    r_off = h_off = g_off = 0
+    packed = []   # (prepared, batch, reads, haps, pair_slice, gh, gr)
+    for prepared, rg_reads, haps in entries:
+        batch = build_pair_batch_compact(
+            rg_reads, haps, pcr_model=pcr_model,
+            len_buckets=(_DRY_LR,), hap_len_buckets=(_DRY_LH,))
+        npairs = batch.gh * batch.gr
+        assert (r_off + batch.gr <= _DRY_NR and h_off + batch.gh <= _DRY_NH
+                and g_off + npairs <= _DRY_G), \
+            "dryrun shard launch capacity exceeded"
+        q[r_off:r_off + batch.gr] = batch.q
+        gi[r_off:r_off + batch.gr] = batch.gi
+        gc[r_off:r_off + batch.gr] = batch.gc
+        rbase[r_off:r_off + batch.gr] = batch.rbase
+        rlen[r_off:r_off + batch.gr] = batch.rlen
+        hcode[h_off:h_off + batch.gh] = batch.hcode
+        hlen[h_off:h_off + batch.gh] = batch.hlen
+        k = g_off
+        for hh in range(batch.gh):
+            for rr in range(batch.gr):
+                hidx[k] = h_off + hh
+                ridx[k] = r_off + rr
+                k += 1
+        packed.append((prepared, batch, rg_reads, haps,
+                       (g_off, k)))
+        r_off += batch.gr
+        h_off += batch.gh
+        g_off = k
+    return (q, gi, gc, rbase, rlen, hcode, hlen, hidx, ridx), packed
 
 
 def pipeline_dryrun(n_devices, pcr_model="CONSERVATIVE",
@@ -161,10 +253,11 @@ def pipeline_dryrun(n_devices, pcr_model="CONSERVATIVE",
     shards = shard_intervals([(contig, 0, genome_len)], n_devices)
 
     mqt = C.MIN_QUALITY_THRESHOLD
-    per_shard = []   # list of (prepared, batch, reads, haps) per region
+    per_shard = []   # (shard_caller, ready_records, packed)
+    launches = []
     for shard in shards:
         shard_caller = RegionCaller(config, contig_dict)
-        entries = []
+        entries, ready = [], []
         for (ctg, pad_s, pad_e, core_s, core_e) in shard:
             regions, sel = _regions_for_span(reads, ref, ctg, pad_s, pad_e)
             for rg in regions:
@@ -179,57 +272,27 @@ def pipeline_dryrun(n_devices, pcr_model="CONSERVATIVE",
                 prepared = shard_caller.prepare_region(rg, rg_reads, ref,
                                                        ctg)
                 if isinstance(prepared, list):
-                    entries.append(("ready", prepared, None, None, None))
+                    ready.extend(prepared)
                     continue
-                hap_bases = [h.bases for h in prepared.haps]
-                batch = _single_tile_batch(prepared.call_reads, hap_bases,
-                                           pcr_model)
-                entries.append(("score", prepared, batch,
-                                prepared.call_reads, hap_bases))
-        per_shard.append((shard_caller, entries))
+                entries.append((prepared, prepared.call_reads,
+                                [h.bases for h in prepared.haps]))
+        launch, packed = _pack_shard_launch(entries, pcr_model)
+        launches.append(launch)
+        per_shard.append((shard_caller, ready, packed))
 
-    r_max = max(1, max(sum(1 for e in s[1] if e[0] == "score")
-                       for s in per_shard))
-
-    # stack per-shard batches into [S, R, ...] with padding slots
-    def stack(field, shape, dtype):
-        # keep the per-region (GR/GH = 1) tile axes: pairhmm_xla expects them
-        out = np.zeros((n_devices, r_max, 1) + shape, dtype=dtype)
-        for si, (_c, entries) in enumerate(per_shard):
-            ri = 0
-            for kind, _p, batch, _r, _h in entries:
-                if kind != "score":
-                    continue
-                out[si, ri] = getattr(batch, field)
-                ri += 1
-        return out
-
-    trans = stack("trans", (_DRY_LR, 8, 128), np.float32)
-    rbase = stack("rbase", (_DRY_LR, 128), np.int32)
-    rlen = stack("rlen", (1, 128), np.int32)
-    hbase = stack("hbase", (_DRY_LH, 8, 128), np.int32)
-    hlen = stack("hlen", (8, 1), np.int32)
-    # padding slots: 1-base read/hap lengths keep the kernel well-defined
-    for si, (_c, entries) in enumerate(per_shard):
-        n_score = sum(1 for e in entries if e[0] == "score")
-        for ri in range(n_score, r_max):
-            rlen[si, ri, 0, 0, :] = 1
-            hlen[si, ri, 0, :, 0] = 1
-
-    gathered = np.asarray(sharded_pipeline_step(
-        mesh, trans, rbase, rlen, hbase, hlen))
-    assert gathered.shape[:2] == (n_devices, r_max), gathered.shape
+    stacked = tuple(np.stack([ln[i] for ln in launches])
+                    for i in range(9))
+    gathered = np.asarray(sharded_pipeline_step(mesh, *stacked))
+    assert gathered.shape[:2] == (n_devices, _DRY_G), gathered.shape
 
     sharded_records = []
-    for si, (shard_caller, entries) in enumerate(per_shard):
-        ri = 0
-        for kind, prepared, batch, rg_reads, haps in entries:
-            if kind == "ready":
-                sharded_records.extend(prepared)
-                continue
-            raw_tile = gathered[si, ri]  # (GH=1, GR=1, 8, 128)
-            ri += 1
-            lik, kept = _postprocess(batch, raw_tile, rg_reads, haps,
+    for si, (shard_caller, ready, packed) in enumerate(per_shard):
+        sharded_records.extend(ready)
+        for prepared, batch, rg_reads, haps, (g0, g1) in packed:
+            # reassemble this region's (gh, gr) tile block from the
+            # launch's flat pair rows (packing is job-contiguous)
+            raw = gathered[si, g0:g1].reshape(batch.gh, batch.gr, 8, 128)
+            lik, kept = _postprocess(batch, raw, rg_reads, haps,
                                      pcr_model, mqt)
             sharded_records.extend(
                 shard_caller.finish_region(prepared, lik, kept))
@@ -245,5 +308,5 @@ def pipeline_dryrun(n_devices, pcr_model="CONSERVATIVE",
     if len(base_keys) < len(truth) // 2:
         raise AssertionError(
             f"dryrun called too few variants: {len(base_keys)} records "
-            f"for {len(truth)} truth SNPs")
+            f"for {len(truth)} truth variants")
     return len(base_keys)
