@@ -110,8 +110,20 @@ class PairHMMScheduler:
                 job.batch = prep.build_pair_batch(
                     job.reads, job.haps, pcr_model=job.pcr_model,
                     min_quality_threshold=self.mqt)
-            self._collect_fn = self._dispatch_single(
-                force_cpu=jax.default_backend() == "tpu")
+            from ..native import pairhmm_native
+            if (self.engine in ("auto", "native")
+                    and pairhmm_native.available()):
+                # host-native engine: the reference's CPU SIMD engine slot
+                # (pairhmm_engine.cpp:22-53). No jit, no copies — the right
+                # call for pure-CPU runs and for the small-input fallback on
+                # tunnel-attached TPU sessions.
+                self._collect_fn = self._dispatch_native()
+            elif self.engine == "native":
+                raise RuntimeError("native pairhmm engine unavailable "
+                                   "(g++ build failed?)")
+            else:
+                self._collect_fn = self._dispatch_single(
+                    force_cpu=jax.default_backend() == "tpu")
 
     def collect(self):
         """Fetch + postprocess everything dispatched; {key: (lik, kept)}."""
@@ -133,6 +145,35 @@ class PairHMMScheduler:
                                     lik_rh)
         kept = np.nonzero(~drop)[0]
         job.result = (lik_rh[kept].T.copy(), kept)
+
+    def _dispatch_native(self):
+        """Score every job's dense batch with the host-native engine.
+
+        Scoring runs on a background thread started at dispatch time, so the
+        caller's dispatch()/collect() split buys the same producer/consumer
+        overlap the device paths get (the OMP pool parks passively between
+        jobs; genotyping of the previous window rides the other core)."""
+        import threading
+
+        from ..native import pairhmm_native
+
+        jobs = list(self.jobs)
+        raws = [None] * len(jobs)
+
+        def score():
+            for k, job in enumerate(jobs):
+                b = job.batch
+                raws[k] = pairhmm_native.pairhmm_dense(
+                    b.trans, b.rbase, b.rlen, b.hbase, b.hlen)
+        t = threading.Thread(target=score, name="pairhmm-native",
+                             daemon=True)
+        t.start()
+
+        def collect():
+            t.join()
+            for k, job in enumerate(jobs):
+                self._postprocess(job, job.batch.result_matrix(raws[k]))
+        return collect
 
     def _dispatch_single(self, force_cpu=False):
         """Per-job kernel launches, dispatched round-robin across local

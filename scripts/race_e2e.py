@@ -67,17 +67,26 @@ def main():
     env = dict(os.environ)
     env["JAX_COMPILATION_CACHE_DIR"] = os.path.expanduser(
         "~/.cache/rovaca_jax")
-    for name, engine, platforms in (("ours_tpu", "auto", None),
-                                    ("ours_cpu", "xla", "cpu")):
+    env["ROVACA_NATIVE_THREADS"] = "2"
+    # ours_cpu: auto resolves to the native host SIMD engine (the
+    # reference-parity CPU engine slot); ours_cpu_2shard races the
+    # reference's 2 threads with 2 interval-shard processes.
+    for name, engine, platforms, shards in (
+            ("ours_tpu", "auto", None, 0),
+            ("ours_cpu", "auto", "cpu", 0),
+            ("ours_cpu_2shard", "auto", "cpu", 2)):
         env2 = dict(env)
         if platforms:
             env2["JAX_PLATFORMS"] = platforms
         out = os.path.join(outdir, f"{name}.vcf")
-        dt = _run([sys.executable, "-m", "rovaca_tpu.cli",
-                   "HaplotypeCaller", "-i", bam,
-                   "-r", os.path.join(outdir, "ref.fa"),
-                   "-o", out, "--pairhmm-engine", engine],
-                  env=env2, tag=name)
+        cmd = [sys.executable, "-m", "rovaca_tpu.cli",
+               "HaplotypeCaller", "-i", bam,
+               "-r", os.path.join(outdir, "ref.fa"),
+               "-o", out, "--pairhmm-engine", engine]
+        if shards:
+            cmd += ["--shards", str(shards)]
+            env2["ROVACA_NATIVE_THREADS"] = "1"
+        dt = _run(cmd, env=env2, tag=name)
         results["contenders"][name] = {
             "wall_s": round(dt, 2), "reads_per_s": round(n_reads / dt)}
         print(f"{name}: {dt:.2f}s", flush=True)

@@ -348,3 +348,51 @@ class TestSchedulerPacking:
             assert S._ladder(n, S.NR_LADDER) in S.NR_LADDER
         for n in range(1, S.G_MAX + 1):
             assert S._ladder(n, S.G_LADDER) in S.G_LADDER
+
+
+class TestNativeEngine:
+    """Host-native C++ engine (native/pairhmm_cpu.cpp) vs XLA and golden."""
+
+    def _skip_unless_built(self):
+        from rovaca_tpu.native import pairhmm_native
+        if not pairhmm_native.available():
+            pytest.skip("native pairhmm engine did not build")
+        return pairhmm_native
+
+    def test_matches_xla_padding_and_lengths(self, rng):
+        nat = self._skip_unless_built()
+        hap_lens = [17, 31, 60, 44, 25, 50, 38, 29, 61]
+        haps = ["".join(rng.choice(list("ACGT"), size=L)) for L in hap_lens]
+        reads = [random_read(rng, L) for L in (8, 15, 22, 37, 40, 11)]
+        batch = prep.build_pair_batch(reads, haps)
+        a = nat.pairhmm_dense(batch.trans, batch.rbase, batch.rlen,
+                              batch.hbase, batch.hlen)
+        b = np.asarray(pairhmm_xla(batch.trans, batch.rbase, batch.rlen,
+                                   batch.hbase, batch.hlen))
+        np.testing.assert_allclose(batch.result_matrix(a),
+                                   batch.result_matrix(b), rtol=2e-5)
+
+    def test_matches_golden_multi_tile(self, rng):
+        nat = self._skip_unless_built()
+        reads, haps = make_case(rng, n_reads=150, n_haps=11, read_len=40,
+                                hap_len=70)
+        batch = prep.build_pair_batch(reads, haps)
+        assert batch.gr == 2 and batch.gh == 2   # exercises tile indexing
+        raw = nat.pairhmm_dense(batch.trans, batch.rbase, batch.rlen,
+                                batch.hbase, batch.hlen)
+        got = batch.result_matrix(raw)
+        want = golden_matrix(reads, haps, np.float32)
+        np.testing.assert_allclose(got, want, rtol=2e-4)
+
+    def test_scheduler_native_dispatch(self, rng):
+        self._skip_unless_built()
+        from rovaca_tpu.pipeline.scheduler import PairHMMScheduler
+        reads, haps = make_case(rng, n_reads=6, n_haps=3)
+        sn = PairHMMScheduler(engine="native")
+        sn.submit("k", reads, haps)
+        lik_n, kept_n = sn.run()["k"]
+        sx = PairHMMScheduler(engine="xla")
+        sx.submit("k", reads, haps)
+        lik_x, kept_x = sx.run()["k"]
+        np.testing.assert_array_equal(kept_n, kept_x)
+        np.testing.assert_allclose(lik_n, lik_x, rtol=1e-6, atol=1e-9)
