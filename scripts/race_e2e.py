@@ -5,6 +5,14 @@ heavy drives at once on this 2-core host), emits RACE.json with wall-clock,
 reads/s, and a field-level diff result for each of our outputs vs the
 reference's.
 
+Note on the sharded contender: reservoir downsampling consumes a Java-LCG
+stream in traversal order (reference: src/common/downsampler_hc.h:94-210),
+so an interval-split run picks different survivors at >50-deep alignment
+starts than a whole-contig run — exactly as the reference binary does under
+-L interval splits. A DIVERGENT diff for *_2shard that is limited to
+depth/qual fields at saturated pileups is this known semantic, not a bug
+(the unsharded contenders must MATCH).
+
 Usage: python scripts/race_e2e.py <outdir> [genome_len] [coverage] [seed]
 """
 
