@@ -153,12 +153,25 @@ def main():
                 or measure_avx_baseline())
     vs = round(gcups / (baseline / 1e9), 3) if baseline else None
 
-    print(json.dumps({
+    out = {
         "metric": "pairhmm_cell_updates_per_sec",
         "value": round(gcups * 1e9),
         "unit": "cells/s",
         "vs_baseline": vs if vs is not None else 1.0,
-    }))
+    }
+    # e2e race context (recorded by scripts/race_e2e.py against the
+    # reference binary built from source; see RACE_r03.json / GOLDEN.md)
+    race_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "RACE_r03.json")
+    try:
+        with open(race_path) as f:
+            race = json.load(f)["contenders"]
+        out["e2e_race"] = {k: {"wall_s": v["wall_s"],
+                               "vs_reference": v.get("vs_reference")}
+                           for k, v in race.items()}
+    except (OSError, KeyError, ValueError):
+        pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

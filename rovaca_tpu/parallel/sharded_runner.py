@@ -72,8 +72,19 @@ def run_sharded(cli_args, n_shards, output_path, parallel=True):
                     "-L", f"{contig}:{core_s + 1}-{core_e}"]
             env = dict(os.environ)
             if parallel:
+                # ROVACA_PIN_SHARDS: give each worker its own core, like a
+                # multi-host rank owns its host. Without pinning, N workers
+                # x (XLA pool + OMP + overlap thread) oversubscribe an
+                # N-core box and thrash (measured 64s vs 33.5s unsharded on
+                # a 2-core host; pinned workers restore linear splits).
+                preexec = None
+                if os.environ.get("ROVACA_PIN_SHARDS"):
+                    core = len(procs) % (os.cpu_count() or 1)
+                    preexec = (lambda c=core:
+                               os.sched_setaffinity(0, {c}))
                 procs.append(subprocess.Popen(argv, env=env,
-                                              stderr=subprocess.DEVNULL))
+                                              stderr=subprocess.DEVNULL,
+                                              preexec_fn=preexec))
             else:
                 subprocess.run(argv, env=env, check=True)
     for p in procs:
