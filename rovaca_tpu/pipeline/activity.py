@@ -260,14 +260,15 @@ def accumulate_reads(win, reads, ref):
 
     starts, qoffs, lens = [], [], []
     base_parts, qual_parts = [], []
+    bounds, revs = [], []            # adaptor boundary (0 = none) per read
     edge_first, edge_last = [], []   # (concat_index, read) pairs
     n_acc = 0
     for read in reads:
         lay = _simple_layout(read)
-        if lay is None or (read.tlen <= 100
-                           and adaptor_boundary(read) is not None):
+        if lay is None:
             accumulate_read(win, read, ref)
             continue
+        bound = (adaptor_boundary(read) if read.tlen <= 100 else None)
         pos, qoff, mlen, lead_s, trail_s = lay
         if pos + mlen <= win.start or pos >= win.end \
                 or pos - ref_off < 0 or pos + mlen - ref_off > len(ref_arr):
@@ -278,6 +279,8 @@ def accumulate_reads(win, reads, ref):
         starts.append(pos)
         qoffs.append(qoff)
         lens.append(mlen)
+        bounds.append(-1 if bound is None else bound)
+        revs.append(read.is_reverse)
         base_parts.append(np.frombuffer(read.bases, dtype=np.uint8)
                           [qoff:qoff + mlen])
         qual_parts.append(read.quals[qoff:qoff + mlen])
@@ -304,6 +307,15 @@ def accumulate_reads(win, reads, ref):
     for idx, _ in edge_last:
         variant[idx] = True
     in_win = (offs >= 0) & (offs < L)
+    # short-insert adaptor masking, batched (HcActiveBase.cpp:96-188 via
+    # accumulate_read lines above): keep p1 < bound on forward strands,
+    # p1 > bound on reverse; bound -1 = no adaptor overlap (a real bound
+    # can be 0 when the mate maps at the contig start)
+    bnd = np.repeat(np.asarray(bounds, dtype=np.int64), lens_a)
+    if (bnd >= 0).any():
+        rev = np.repeat(np.asarray(revs, dtype=bool), lens_a)
+        p1 = offs + win.start + 1
+        in_win &= (bnd < 0) | np.where(rev, p1 > bnd, p1 < bnd)
     bq = np.minimum(quals.astype(np.int64), MAX_QUAL_BIN - 1)
     # hist layout (2, L, 64): state 0 = variant evidence, 1 = reference
     key = ((np.where(variant, 0, 1)[in_win] * L + offs[in_win])
