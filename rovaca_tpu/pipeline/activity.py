@@ -71,6 +71,18 @@ def genotype_cache(ploidy=2):
     return cache
 
 
+_MASKED_CACHE = {}
+
+
+def _masked_genotype_cache(ploidy):
+    """genotype_cache with quals <= MIN_BASE_QUAL rows zeroed."""
+    if ploidy not in _MASKED_CACHE:
+        c = genotype_cache(ploidy).copy()
+        c[:, : MIN_BASE_QUAL + 1, :] = 0.0
+        _MASKED_CACHE[ploidy] = c
+    return _MASKED_CACHE[ploidy]
+
+
 _PRIOR_CACHE = {}
 
 
@@ -248,15 +260,23 @@ def _simple_layout(read):
 
 
 def accumulate_reads(win, reads, ref):
-    """Window-batched accumulate_read: one histogram bincount for all
-    simple-cigar reads (single aligned block, optional clips, no adaptor
-    overlap), per-read fallback for the rest. Bit-identical to calling
+    """Window-batched accumulate_read: the native batch accumulator when
+    available (one C pass over all reads), else one histogram bincount for
+    all simple-cigar reads (single aligned block, optional clips, no adaptor
+    overlap) with a per-read fallback for the rest. Bit-identical to calling
     accumulate_read over every read."""
     L = win.end - win.start
     if isinstance(ref, (bytes, bytearray, np.ndarray)):
         ref_arr, ref_off = np.frombuffer(bytes(ref), dtype=np.uint8), 0
     else:  # RefWindow view
         ref_arr, ref_off = np.frombuffer(ref.data, dtype=np.uint8), ref.offset
+
+    import os
+    if not os.environ.get("ROVACA_NO_NATIVE_ACTIVITY"):
+        from ..native import activity_native
+        if activity_native.available():
+            activity_native.accumulate(win, reads, ref_arr, ref_off)
+            return
 
     starts, qoffs, lens = [], [], []
     base_parts, qual_parts = [], []
@@ -336,11 +356,14 @@ def compute_activity(win, ploidy=C.SAMPLE_PLOIDY):
     reimplementation of compute_genotype_PL / compute_biallelic_non_ref_
     posterior / compute_extension_length (HcActiveBase.cpp:190-296).
     """
-    cache = genotype_cache(ploidy)
-    hist = win.hist.astype(np.float64)
-    # quals <= MIN_BASE_QUAL are excluded (compute_genotype_PL min_qual)
-    hist[:, :, : MIN_BASE_QUAL + 1] = 0.0
-    counts = hist.sum(axis=(0, 2))                      # (L,)
+    # quals <= MIN_BASE_QUAL are excluded (compute_genotype_PL min_qual);
+    # zeroing the cache rows instead of a float64 histogram copy is
+    # bit-identical (0-valued partial products in the same order) and
+    # avoids materializing the (2, L, 64) float array
+    cache = _masked_genotype_cache(ploidy)
+    hist = win.hist
+    counts = hist[:, :, MIN_BASE_QUAL + 1:].sum(
+        axis=(0, 2), dtype=np.int64).astype(np.float64)  # (L,)
     gl = np.einsum("sLq,sqg->Lg", hist, cache)          # (L, ploidy+1)
     gl -= counts[:, None] * math.log10(ploidy)
 
