@@ -8,29 +8,33 @@ float kernel first, double-precision host rescue for underflows
 """
 
 import numpy as np
-import jax
 
 from ... import constants as C
+from ...utils.platform import backend_name
 from . import golden, prep
-from .kernel import pairhmm_pallas
-from .xla import pairhmm_xla
 
 
 def default_engine():
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return "pallas" if backend_name() == "tpu" else "xla"
 
 
 def pairhmm_raw(batch, engine="auto"):
-    """Run the forward kernel over a PairBatch -> (GH, GR, 8, 128) np.f32."""
+    """Run the forward kernel over a PairBatch -> (GH, GR, 8, 128) np.f32.
+
+    Kernel modules import lazily: the Pallas stack costs ~1s of interpreter
+    start and the CPU/native production path never touches it."""
     if engine == "auto":
         engine = default_engine()
     if engine == "pallas":
+        from .kernel import pairhmm_pallas
         out = pairhmm_pallas(batch.trans, batch.rbase, batch.rlen,
                              batch.hbase, batch.hlen)
     elif engine == "pallas_interpret":
+        from .kernel import pairhmm_pallas
         out = pairhmm_pallas(batch.trans, batch.rbase, batch.rlen,
                              batch.hbase, batch.hlen, interpret=True)
     elif engine == "xla":
+        from .xla import pairhmm_xla
         out = pairhmm_xla(batch.trans, batch.rbase, batch.rlen,
                           batch.hbase, batch.hlen)
     else:

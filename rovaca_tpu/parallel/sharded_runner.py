@@ -71,6 +71,11 @@ def run_sharded(cli_args, n_shards, output_path, parallel=True):
                     "HaplotypeCaller", *cli_args, "-o", out,
                     "-L", f"{contig}:{core_s + 1}-{core_e}"]
             env = dict(os.environ)
+            # CPU-pinned workers never touch the TPU: drop the tunnel
+            # plugin's sitecustomize hook so each rank skips the ~2s jax
+            # import at interpreter start (pure-CPU runs stay jax-free)
+            if env.get("JAX_PLATFORMS", "").strip() == "cpu":
+                env.pop("PALLAS_AXON_POOL_IPS", None)
             if parallel:
                 # ROVACA_PIN_SHARDS: give each worker its own core, like a
                 # multi-host rank owns its host. Without pinning, N workers

@@ -117,7 +117,10 @@ class HCArgs:
 
 def _enable_persistent_compilation_cache():
     """Kernel compiles dominate cold TPU runs (20-60s each through remote
-    tunnels); the persistent cache makes every later run warm."""
+    tunnels); the persistent cache makes every later run warm. Pure-CPU
+    runs skip it (and the ~2s jax import) entirely."""
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        return
     import jax
     from ..utils.platform import sync_platform_from_env
     sync_platform_from_env()

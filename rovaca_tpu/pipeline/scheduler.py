@@ -87,7 +87,7 @@ class PairHMMScheduler:
         (haplotypecaller.cpp:117-146)."""
         import os
 
-        import jax
+        from ..utils.platform import backend_name
 
         est_tiles = sum(
             (-(-len(j.reads) // prep.READ_TILE))
@@ -95,7 +95,7 @@ class PairHMMScheduler:
         small_floor = int(os.environ.get("ROVACA_TPU_MIN_TILES",
                                          str(self.SMALL_TILES)))
         use_indexed = (self.engine in ("auto", "pallas")
-                       and jax.default_backend() == "tpu"
+                       and backend_name() == "tpu"
                        and (self.engine == "pallas"
                             or est_tiles >= small_floor))
         if use_indexed:
@@ -123,7 +123,7 @@ class PairHMMScheduler:
                                    "(g++ build failed?)")
             else:
                 self._collect_fn = self._dispatch_single(
-                    force_cpu=jax.default_backend() == "tpu")
+                    force_cpu=backend_name() == "tpu")
 
     def collect(self):
         """Fetch + postprocess everything dispatched; {key: (lik, kept)}."""
@@ -232,11 +232,11 @@ class PairHMMScheduler:
         tiles cost real compute)."""
         import os
 
-        import jax
+        from ..utils.platform import backend_name
         env = os.environ.get("ROVACA_FIXED_LAUNCH")
         if env is not None:
             return env not in ("0", "false", "")
-        return jax.default_backend() not in ("cpu",)
+        return backend_name() not in ("cpu",)
 
     @classmethod
     def prewarm_async(cls, read_len, hap_lens=(384, 512)):
@@ -251,9 +251,9 @@ class PairHMMScheduler:
         one-time per machine. Returns the started threads."""
         import threading
 
-        import jax
+        from ..utils.platform import backend_name
 
-        if jax.default_backend() == "cpu" or not cls._fixed_shapes():
+        if backend_name() == "cpu" or not cls._fixed_shapes():
             return []
         from ..ops.pairhmm import prep
         from ..ops.pairhmm.compact import build_pair_batch_compact

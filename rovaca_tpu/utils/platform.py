@@ -23,6 +23,18 @@ def sync_platform_from_env():
         pass
 
 
+def backend_name():
+    """Default backend name, without importing jax when the env pins CPU.
+
+    A jax import costs ~2s of interpreter start (plus the PJRT plugin
+    load); pure-CPU runs through the native engine never need it."""
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        return "cpu"
+    import jax
+    sync_platform_from_env()
+    return jax.default_backend()
+
+
 def force_cpu():
     """Pin this process to the CPU backend (workers, tests, evals)."""
     os.environ["JAX_PLATFORMS"] = "cpu"

@@ -86,6 +86,10 @@ def main():
         env2 = dict(env)
         if platforms:
             env2["JAX_PLATFORMS"] = platforms
+            if platforms == "cpu":
+                # pure-CPU contenders skip the TPU tunnel plugin (and its
+                # interpreter-start jax import) entirely
+                env2.pop("PALLAS_AXON_POOL_IPS", None)
         out = os.path.join(outdir, f"{name}.vcf")
         cmd = [sys.executable, "-m", "rovaca_tpu.cli",
                "HaplotypeCaller", "-i", bam,
