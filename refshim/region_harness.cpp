@@ -37,6 +37,7 @@
 #include "assemble_result.h"
 #include "genotype_argument.h"
 #include "germline_genotying_engine.h"
+#include "genotype_likelihoods.h"
 #include "haplotype.h"
 #include "hc_assemble_main.h"
 #include "indexed_sample_list.hpp"
@@ -309,6 +310,30 @@ int main(int argc, char *argv[])
             DoubleVector2D likelihoods = rovaca::call_pairhmm(
                 trimed_haps, trimed_reads2, 18, PcrIndelModel::CONSERVATIVE, target_mem);
 
+            // full-precision (hap x read) matrix for cross-impl diffing
+            out << "likelihoods: " << trimed_haps.size() << " x "
+                << trimed_reads2.size() << "\n";
+            {
+                char buf[64];
+                for (size_t hi = 0; hi < likelihoods.size(); ++hi) {
+                    for (size_t ri = 0; ri < likelihoods[hi].size(); ++ri) {
+                        snprintf(buf, sizeof buf, "%.17g", likelihoods[hi][ri]);
+                        out << "  L\t" << hi << "\t"
+                            << trimed_reads2[ri]->qname() << "\t"
+                            << trimed_reads2[ri]->get_start() << "\t" << buf
+                            << "\n";
+                    }
+                }
+                for (size_t hi = 0; hi < trimed_haps.size(); ++hi) {
+                    out << "  H\t" << hi << "\t";
+                    pHaplotype h = trimed_haps[hi];
+                    const uint8_t *hb = h->get_bases()->data;
+                    for (int64_t bi = 0; bi < (int64_t)h->length(); ++bi)
+                        out << (char)hb[bi];
+                    out << "\n";
+                }
+            }
+
             auto *alleles =
                 IndexedAlleleList<pHaplotype>::create(trimed_haps, target_mem);
             ReadVector2D evidence_by_sample{{trimed_reads2}, target_mem};
@@ -375,6 +400,17 @@ int main(int argc, char *argv[])
                     const Int32Vector &pl = g->pl();
                     for (size_t i = 0; i < pl.size(); ++i)
                         out << (i ? "," : "") << pl[i];
+                    out << " GL=";
+                    char glbuf[64];
+                    const DoubleVector &gl =
+                        g->get_likelihoods()->_log10likelihoods;
+                    for (size_t i = 0; i < gl.size(); ++i) {
+                        snprintf(glbuf, sizeof glbuf, "%.17g", gl[i]);
+                        out << (i ? "," : "") << glbuf;
+                    }
+                    snprintf(glbuf, sizeof glbuf, " LOG10ERR=%.17g",
+                             vc->log10_error());
+                    out << glbuf;
                 }
                 out << "\n";
             }

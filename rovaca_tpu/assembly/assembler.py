@@ -179,14 +179,18 @@ def _adjust_pair(a, b):
 
 
 def assemble_with_kmer(reads, ref_window, kmer_size,
-                       allow_low_complexity=False):
-    """One ReadThreadingGraph build; returns [(seq, score, is_ref)] or None
-    on failure (hc_assemble_graph_build)."""
+                       allow_low_complexity=False, first_kbest=True):
+    """One ReadThreadingGraph build; returns (paths, ran_kbest) where paths
+    is [(seq, score, is_ref)] — possibly empty — or None on build failure
+    (hc_assemble_graph_build). ran_kbest reports whether the K-best search
+    executed: the reference's dijkstra pre-inserts the ref haplotype on its
+    first run per region, shifting the result cap for every later run (see
+    find_k_best_haplotypes results_start)."""
     if len(ref_window) < kmer_size:
-        return None
+        return None, False
     g = ReadThreadingGraph(kmer_size)
     if not allow_low_complexity and g.ref_has_non_unique_kmers(ref_window):
-        return None
+        return None, False
 
     read_seqs = []
     for read in reads:
@@ -199,24 +203,36 @@ def assemble_with_kmer(reads, ref_window, kmer_size,
 
     g.prune_low_weight_chains()
     if g.has_cycle():
-        return None
+        return None, False
     if not allow_low_complexity and g.is_low_quality():
-        return None
+        return None, False
     g.recover_dangling_tails()
     g.recover_dangling_heads()
     g.remove_paths_not_connected_to_ref()
     if g.ref_source is None or g.ref_sink is None:
-        return None
+        return None, False
 
     sg = g.to_sequence_graph()
     sg.zip_linear_chains()
     sg.remove_singleton_orphans()
     sg.remove_vertices_not_connected_to_ref_undirected()
     sg.simplify()
+    # the reference re-identifies the ref source/sink from edge flags and
+    # fails the build if either is gone, then simplifies a SECOND time
+    # (hc_assemble_read_threading_assembler.c:119-129); the dijkstra stage
+    # re-derives them once more (hc_assemble_seq_path_finder.c:47-62)
+    sg.rederive_ref_endpoints()
     if sg.ref_source is None or sg.ref_sink is None:
-        return None
-    paths = find_k_best_haplotypes(sg)
-    return paths or None
+        return None, False
+    sg.simplify()
+    sg.rederive_ref_endpoints()
+    if sg.ref_source is None:
+        # find_best_paths returns before dijkstra; the build still counts
+        # as a success with zero new haplotypes
+        return [], False
+    paths = find_k_best_haplotypes(sg,
+                                   results_start=1 if first_kbest else 0)
+    return paths, True
 
 
 def assemble_region(reads, ref_window, window_start,
@@ -236,8 +252,11 @@ def assemble_region(reads, ref_window, window_start,
 
     results = {}
     any_success = False
+    first_kbest = True
     for k in kmer_sizes:
-        paths = assemble_with_kmer(reads, ref_window, k)
+        paths, ran = assemble_with_kmer(reads, ref_window, k,
+                                        first_kbest=first_kbest)
+        first_kbest &= not ran
         if paths is None:
             continue
         any_success = True
@@ -247,8 +266,11 @@ def assemble_region(reads, ref_window, window_start,
         k = kmer_sizes[-1]
         for _ in range(C.ASSEMBLY_MAX_KMER_ITERATIONS):
             k += C.ASSEMBLY_KMER_STEP
-            paths = assemble_with_kmer(reads, ref_window, k,
-                                       allow_low_complexity=(k >= MAX_KMER))
+            paths, ran = assemble_with_kmer(
+                reads, ref_window, k,
+                allow_low_complexity=(k >= MAX_KMER),
+                first_kbest=first_kbest)
+            first_kbest &= not ran
             if paths is not None:
                 _merge_paths(results, paths, k)
                 break
@@ -272,6 +294,10 @@ def assemble_region(reads, ref_window, window_start,
 
 
 def _merge_paths(results, paths, kmer_size):
+    """First occurrence wins across kmer sizes — the reference's cross-call
+    result list dedupes by sequence and keeps the existing entry
+    (hc_assemble_dijkstra_reset_ref, :119-147; only an all-ref-edge path
+    overrides the stored score, which never changes emitted haplotypes)."""
     for seq, score, _is_ref in paths:
-        if seq not in results or results[seq][0] < score:
+        if seq not in results:
             results[seq] = (score, kmer_size)

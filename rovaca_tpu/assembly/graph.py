@@ -682,38 +682,82 @@ class SeqGraph:
                 w.in_edges.pop(v, None)
         self.vertices = [v for v in self.vertices if v not in dead]
 
+    @staticmethod
+    def _is_ref_node(v):
+        """Vertex on the reference path: any outgoing ref edge
+        (hc_assemble_seq_graph_is_reference_node, :121-132)."""
+        return any(e.is_ref for e in v.out_edges.values())
+
+    def _is_linear_chain_start(self, v):
+        """out==1 and (in != 1 or the sole parent branches)
+        (hc_assemble_seq_graph_is_linear_chain_start, :91-116)."""
+        if v.out_degree != 1:
+            return False
+        if v.in_degree != 1:
+            return True
+        (parent,) = v.in_edges.keys()
+        return parent.out_degree > 1
+
+    def _trace_linear_chain(self, zip_start):
+        """[zip_start, ...] extended while last.out==1, target.in==1,
+        target is not last, and both share is-ref state; the final member
+        MAY have out-degree != 1 (hc_assemble_seq_graph_trace_linear_chain,
+        :144-178)."""
+        chain = [zip_start]
+        last = zip_start
+        last_is_ref = self._is_ref_node(last)
+        while last.out_degree == 1:
+            (target,) = last.out_edges.keys()
+            if target.in_degree != 1 or target is last:
+                break
+            target_is_ref = self._is_ref_node(target)
+            if last_is_ref != target_is_ref:
+                break
+            chain.append(target)
+            last = target
+            last_is_ref = target_is_ref
+        return chain
+
+    def _merge_linear_chain(self, chain):
+        """Replace a >=2 chain with one combined vertex: first's in-edges
+        and last's out-edges rewire to it, keeping edge objects
+        (hc_assemble_seq_graph_merge_linear_chain, :239-276)."""
+        if len(chain) < 2:
+            return False
+        merged = self.add_vertex(b"".join(v.seq for v in chain))
+        first, last = chain[0], chain[-1]
+        for w, e in list(last.out_edges.items()):
+            del last.out_edges[w]
+            del w.in_edges[last]
+            merged.out_edges[w] = e
+            w.in_edges[merged] = e
+        for u, e in list(first.in_edges.items()):
+            del first.in_edges[u]
+            del u.out_edges[first]
+            merged.in_edges[u] = e
+            u.out_edges[merged] = e
+        in_chain = set(id(v) for v in chain)
+        if id(self.ref_source) in in_chain:
+            self.ref_source = merged
+        if id(self.ref_sink) in in_chain:
+            self.ref_sink = merged
+        self.remove_vertices(chain)
+        return True
+
     def zip_linear_chains(self):
-        """Merge chains of in==1/out==1 vertices into single vertices
-        (hc_assemble_seq_graph_zip_linear_chains)."""
-        changed = True
-        while changed:
-            changed = False
-            alive = set(self.vertices)
-            for v in list(self.vertices):
-                if v not in alive:
-                    continue
-                if not (v.in_degree == 1 and v.out_degree == 1):
-                    continue
-                (u, _e_in) = next(iter(v.in_edges.items()))
-                if u is v or u.out_degree != 1:
-                    continue
-                (w, e_out) = next(iter(v.out_edges.items()))
-                if w is v:
-                    continue
-                # merge v into u
-                u.seq = u.seq + v.seq
-                del u.out_edges[v]
-                del v.in_edges[u]
-                del v.out_edges[w]
-                del w.in_edges[v]
-                self.add_edge(u, w, e_out.multiplicity, e_out.is_ref)
-                self.vertices.remove(v)
-                alive.discard(v)
-                if v is self.ref_sink:
-                    self.ref_sink = u
-                if v is self.ref_source:
-                    self.ref_source = u
-                changed = True
+        """Zip every simple linear chain into one combined vertex
+        (hc_assemble_seq_graph_zip_linear_chains, :287-326): chain starts
+        are collected on the frozen graph, each chain is traced (its last
+        member may branch or terminate) and merged when >= 2 long.
+        Returns True if any merge happened (simplify counts zipping as
+        work done)."""
+        zip_starts = [v for v in self.vertices
+                      if self._is_linear_chain_start(v)]
+        merged_one = False
+        for zs in zip_starts:
+            chain = self._trace_linear_chain(zs)
+            merged_one |= self._merge_linear_chain(chain)
+        return merged_one
 
     def remove_singleton_orphans(self):
         dead = [v for v in self.vertices
@@ -722,200 +766,305 @@ class SeqGraph:
         if dead:
             self.remove_vertices(dead)
 
-    # --- simplification (hc_assemble_seq_graph.c /
-    #     hc_assemble_vertex_sequence_spliter.c; GATK CommonSuffixSplitter,
-    #     SharedSequenceMerger, MergeDiamonds-equivalent) ---
-    def split_common_suffixes(self):
-        """For a vertex with >=2 incoming vertices sharing a common suffix,
-        hoist the suffix into a new vertex between them (this also covers
-        diamond merging: the diamond bottom is exactly such a vertex)."""
-        changed = False
-        for v in list(self.vertices):
-            if v.in_degree < 2:
-                continue
-            prevs = list(v.in_edges.keys())
-            if any(p is v or p.out_degree != 1 for p in prevs):
-                continue
-            # common suffix
-            suffix_len = min(len(p.seq) for p in prevs)
-            suffix = b""
-            for k in range(1, suffix_len + 1):
-                ch = prevs[0].seq[-k:]
-                if all(p.seq[-k:] == ch for p in prevs):
-                    suffix = ch
+    # --- simplification: faithful port of the reference's vertex-sequence
+    #     splitter (hc_assemble_vertex_sequence_spliter.c; GATK
+    #     MergeDiamonds / CommonSuffixSplitter / MergeCommonSuffices).
+    #     Each op's driver restarts the vertex scan after every single
+    #     transform (HC_ASSEMBLE_SEQ_GRAPH_SIMLIFY macro,
+    #     hc_assemble_seq_graph.h:19-47). ---
+
+    def _is_ref_source_vertex(self, v):
+        """No incoming ref edge + some outgoing ref edge
+        (hc_assemble_base_graph_is_ref_source, :972-996)."""
+        if any(e.is_ref for e in v.in_edges.values()):
+            return False
+        return any(e.is_ref for e in v.out_edges.values())
+
+    def _is_ref_sink_vertex(self, v):
+        if any(e.is_ref for e in v.out_edges.values()):
+            return False
+        return any(e.is_ref for e in v.in_edges.values())
+
+    def rederive_ref_endpoints(self):
+        """Re-identify ref source/sink from edge flags, first match in
+        vertex order (get_reference_source/sink_vertex_with_head,
+        hc_assemble_utils.c:604-618) — the reference re-derives them after
+        simplification rather than tracking through transforms."""
+        self.ref_source = next((v for v in self.vertices
+                                if self._is_ref_source_vertex(v)), None)
+        self.ref_sink = next((v for v in self.vertices
+                              if self._is_ref_sink_vertex(v)), None)
+
+    @staticmethod
+    def _common_prefix_suffix_len(seqs):
+        """(prefix_len, suffix_len) with the suffix bounded by
+        min_len - prefix_len (common_prefix_and_suffix_of_vertices,
+        hc_assemble_vertex_sequence_spliter.c:676-707)."""
+        min_len = min(len(s) for s in seqs)
+        first = seqs[0]
+        pre = 0
+        while pre < min_len and all(s[pre] == first[pre] for s in seqs[1:]):
+            pre += 1
+        lim = min_len - pre
+        suf = 0
+        while suf < lim and all(s[len(s) - 1 - suf] ==
+                                first[len(first) - 1 - suf]
+                                for s in seqs[1:]):
+            suf += 1
+        return pre, suf
+
+    @staticmethod
+    def _link_fresh(u, w, mult, is_ref):
+        e = Edge(mult, is_ref)
+        u.out_edges[w] = e
+        w.in_edges[u] = e
+        return e
+
+    def _try_merge_diamond(self, top):
+        """top -> {middles} -> bottom: split the middles' shared
+        prefix/suffix out (merge_diamonds_try_to_transform, :75-146 +
+        split/update_graph :803-1070)."""
+        if top.out_degree <= 1:
+            return False
+        middles = list(top.out_edges.keys())
+        bottom = None
+        for mi in middles:
+            if mi.out_degree < 1 or mi.in_degree != 1:
+                return False
+            for mt in mi.out_edges:
+                if bottom is None:
+                    bottom = mt
+                elif bottom is not mt:
+                    return False
+        if bottom.in_degree != len(middles):
+            return False
+        seqs = [m.seq for m in middles]
+        pre, suf = self._common_prefix_suffix_len(seqs)
+        if pre < 1 and suf < 1:
+            return False
+        self._split_and_update(middles, top, bottom, pre, suf)
+        return True
+
+    def _split_and_update(self, middles, top, bottom, pre, suf):
+        """Build the split subgraph (prefix -> remainders -> suffix), then
+        graft it between top and bottom (spliter_split :819-870 +
+        update_graph :880-1070)."""
+        first = middles[0].seq
+        prefix_seq = first[:pre]
+        suffix_seq = first[len(first) - suf:] if suf else b""
+        # split graph: fresh vertices NOT registered in self.vertices
+        prefix_sv = SeqVertex(prefix_seq, next(self._uid))
+        suffix_sv = SeqVertex(suffix_seq, next(self._uid))
+        mapping = []   # (split_middle_vertex, outer_twin) in order
+        for mid in middles:
+            e_to = next(iter(mid.in_edges.values()))     # sole in-edge
+            e_from = next(iter(mid.out_edges.values()))  # sole out-edge
+            rem_seq = mid.seq[pre:len(mid.seq) - suf]
+            if rem_seq:
+                rv = SeqVertex(rem_seq, next(self._uid))
+                mapping.append([rv, None])
+                self._link_fresh(prefix_sv, rv, e_to.multiplicity,
+                                 e_to.is_ref)
+                self._link_fresh(rv, suffix_sv, e_from.multiplicity,
+                                 e_from.is_ref)
+            else:
+                # prefix + suffix fully explain this middle
+                w = e_to.multiplicity + e_from.multiplicity
+                r = e_to.is_ref or e_from.is_ref
+                e = prefix_sv.out_edges.get(suffix_sv)
+                if e is None:
+                    self._link_fresh(prefix_sv, suffix_sv, w, r)
                 else:
+                    e.multiplicity += w
+                    e.is_ref |= r
+
+        self.remove_vertices(middles)
+        for entry in mapping:
+            entry[1] = self.add_vertex(entry[0].seq)
+        outer_of = {id(rv): ov for rv, ov in mapping}
+
+        has_ps_edge = suffix_sv in prefix_sv.out_edges
+        has_only_ps = has_ps_edge and len(prefix_sv.out_edges) == 1
+        need_prefix = pre > 0 or (top is None and not has_only_ps)
+        need_suffix = suf > 0 or (bottom is None and not has_only_ps)
+        if need_prefix:
+            pv_main = self.add_vertex(prefix_seq)
+            if top is not None:
+                is_ref = any(e.is_ref
+                             for e in prefix_sv.out_edges.values())
+                self._link_fresh(top, pv_main, 1, is_ref)
+            top_for = pv_main
+        else:
+            top_for = top
+        if need_suffix:
+            sv_main = self.add_vertex(suffix_seq)
+            if bottom is not None:
+                is_ref = any(e.is_ref
+                             for e in suffix_sv.in_edges.values())
+                self._link_fresh(sv_main, bottom, 1, is_ref)
+            bot_for = sv_main
+        else:
+            bot_for = bottom
+
+        if top_for is not None:
+            for target, e in prefix_sv.out_edges.items():
+                if target is suffix_sv:
+                    if bot_for is None or bot_for in top_for.out_edges:
+                        continue
+                    self._link_fresh(top_for, bot_for, e.multiplicity,
+                                     e.is_ref)
+                else:
+                    ov = outer_of[id(target)]
+                    if ov in top_for.out_edges:
+                        continue
+                    self._link_fresh(top_for, ov, e.multiplicity, e.is_ref)
+        if bot_for is not None:
+            for source, e in suffix_sv.in_edges.items():
+                ov = outer_of.get(id(source))
+                if ov is None:   # the prefix vertex: handled above
+                    continue
+                if bot_for in ov.out_edges:
+                    continue
+                self._link_fresh(ov, bot_for, e.multiplicity, e.is_ref)
+
+    def _try_split_common_suffix(self, bottom, already_split):
+        """Split each incoming vertex of `bottom` into prefix + its own
+        suffix copy (split_common_suffices_try_to_transform :212-237 +
+        common_suffix_splitter_split :545-605)."""
+        if id(bottom) in already_split:
+            return False
+        already_split.add(id(bottom))
+        if bottom.in_degree < 2:
+            return False
+        to_split = list(bottom.in_edges.keys())
+        # safe_to_split (:472-491)
+        for m in to_split:
+            if m is bottom or m.out_degree != 1 \
+                    or bottom not in m.out_edges:
+                return False
+            if m in bottom.out_edges:
+                return False
+        min_len = min(len(m.seq) for m in to_split)
+        first = to_split[0].seq
+        suf = 0
+        while suf < min_len and all(m.seq[len(m.seq) - 1 - suf] ==
+                                    first[len(first) - 1 - suf]
+                                    for m in to_split[1:]):
+            suf += 1
+        if suf == 0:
+            return False
+        # would_eliminate_ref_source (:489-507)
+        for m in to_split:
+            if self._is_ref_source_vertex(m):
+                if len(m.seq) == suf:
+                    return False
+                break
+        if all(len(m.seq) == suf for m in to_split):
+            return False
+        suffix_seq = first[len(first) - suf:]
+        for mid in to_split:
+            out_e = next(iter(mid.out_edges.values()))
+            out_target = next(iter(mid.out_edges.keys()))
+            suffix_v = self.add_vertex(suffix_seq)
+            prefix_seq = mid.seq[:len(mid.seq) - suf]
+            if not prefix_seq:
+                incoming_target = suffix_v
+            else:
+                incoming_target = self.add_vertex(prefix_seq)
+                self._link_fresh(incoming_target, suffix_v, 1,
+                                 out_e.is_ref)
+            self._link_fresh(suffix_v, out_target, 1, out_e.is_ref)
+            for parent, pe in list(mid.in_edges.items()):
+                self._link_fresh(parent, incoming_target,
+                                 pe.multiplicity, pe.is_ref)
+        self.remove_vertices(to_split)
+        return True
+
+    def _try_merge_common_suffix(self, v):
+        """Merge v with its incoming vertices when they all carry the same
+        sequence, each has v as its only child, and none is a source
+        (split_merge_common_suffices :239-328 + can_merge :330-352)."""
+        prevs = list(v.in_edges.keys())
+        if not prevs:
+            return False
+        first = prevs[0]
+        for p in prevs:
+            if p.seq != first.seq or p.out_degree != 1:
+                return False
+            if next(iter(p.out_edges.keys())) is not v:
+                return False
+            if p.in_degree == 0:
+                return False
+        new_v = self.add_vertex(first.seq + v.seq)
+        for p in prevs:
+            for parent, e in p.in_edges.items():
+                existing = parent.out_edges.get(new_v)
+                if existing is None:
+                    self._link_fresh(parent, new_v, e.multiplicity,
+                                     e.is_ref)
+        for target, e in v.out_edges.items():
+            if target.in_edges.get(new_v) is None:
+                self._link_fresh(new_v, target, e.multiplicity, e.is_ref)
+        self.remove_vertices(prevs + [v])
+        return True
+
+    def _run_to_fixed_point(self, try_fn):
+        """Restart the in-order vertex scan after every successful
+        transform (HC_ASSEMBLE_SEQ_GRAPH_SIMLIFY, seq_graph.h:19-47)."""
+        did_any = False
+        found = True
+        while found:
+            found = False
+            for v in list(self.vertices):
+                if try_fn(v):
+                    found = True
+                    did_any = True
                     break
-            if not suffix:
-                continue
-            if all(p.seq == suffix for p in prevs):
-                continue  # identical vertices: SharedSequenceMerger's job
-            if any(len(p.seq) == len(suffix) and p.in_degree == 0
-                   for p in prevs):
-                continue  # would empty a source vertex
-            s = self.add_vertex(suffix)
-            total_mult = 0
-            any_ref = False
-            for p in prevs:
-                e = p.out_edges.pop(v)
-                v.in_edges.pop(p)
-                total_mult += e.multiplicity
-                any_ref |= e.is_ref
-                p.seq = p.seq[:-len(suffix)]
-                if p.seq:
-                    self.add_edge(p, s, e.multiplicity, e.is_ref)
-                else:
-                    # vertex emptied: reattach its parents directly to s
-                    for q, e2 in list(p.in_edges.items()):
-                        q.out_edges.pop(p)
-                        self.add_edge(q, s, e2.multiplicity, e2.is_ref)
-                    p.in_edges.clear()
-                    self.vertices.remove(p)
-                    if p is self.ref_source:
-                        self.ref_source = s
-            self.add_edge(s, v, total_mult, any_ref)
-            changed = True
-        return changed
+        return did_any
 
     def merge_diamonds(self):
-        """Split the common prefix+suffix out of diamond middles
-        (hc_assemble_vertex_sequence_spliter.c:75-135, split_and_update
-        :803-965): for top->{middles}->bottom where each middle's only
-        parent is top and only child is bottom, hoist the shared prefix
-        into a vertex after top and the shared suffix into one before
-        bottom; middles fully explained by prefix+suffix collapse into a
-        direct edge with summed multiplicity."""
-        changed = False
-        for top in list(self.vertices):
-            if top not in self.vertices or top.out_degree < 2:
-                continue
-            middles = list(top.out_edges.keys())
-            bottom = None
-            ok = True
-            for m in middles:
-                if (m.out_degree < 1 or m.in_degree != 1 or m is top
-                        or m is self.ref_source or m is self.ref_sink):
-                    ok = False
-                    break
-                for t in m.out_edges:
-                    if bottom is None:
-                        bottom = t
-                    elif t is not bottom:
-                        ok = False
-                        break
-                if not ok:
-                    break
-            if (not ok or bottom is None or bottom is top
-                    or bottom in middles
-                    or bottom.in_degree != len(middles)):
-                continue
-            seqs = [m.seq for m in middles]
-            min_len = min(len(s) for s in seqs)
-            pre = 0
-            while pre < min_len and all(s[pre] == seqs[0][pre]
-                                        for s in seqs):
-                pre += 1
-            suf = 0
-            lim = min_len - pre  # suffix bounded after prefix removal
-            while suf < lim and all(s[len(s) - 1 - suf]
-                                    == seqs[0][len(seqs[0]) - 1 - suf]
-                                    for s in seqs):
-                suf += 1
-            if pre == 0 and suf == 0:
-                continue
-            prefix_seq = seqs[0][:pre]
-            suffix_seq = seqs[0][len(seqs[0]) - suf:] if suf else b""
+        return self._run_to_fixed_point(self._try_merge_diamond)
 
-            entries = []
-            for m in middles:
-                e_in = m.in_edges[top]
-                e_out = m.out_edges[bottom]
-                entries.append((m.seq[pre:len(m.seq) - suf], e_in, e_out))
-                top.out_edges.pop(m)
-                bottom.in_edges.pop(m)
-                m.in_edges.clear()
-                m.out_edges.clear()
-                self.vertices.remove(m)
-            prefix_v = self.add_vertex(prefix_seq) if pre else None
-            suffix_v = self.add_vertex(suffix_seq) if suf else None
-            top_c = prefix_v if prefix_v is not None else top
-            bot_c = suffix_v if suffix_v is not None else bottom
-            direct_w = 0
-            direct_ref = False
-            for rem, e_in, e_out in entries:
-                if rem:
-                    mv = self.add_vertex(rem)
-                    self.add_edge(top_c, mv, e_in.multiplicity, e_in.is_ref)
-                    self.add_edge(mv, bot_c, e_out.multiplicity,
-                                  e_out.is_ref)
-                else:
-                    # prefix + suffix fully explain this middle
-                    direct_w += e_in.multiplicity + e_out.multiplicity
-                    direct_ref |= e_in.is_ref or e_out.is_ref
-            if direct_w:
-                existing = top_c.out_edges.get(bot_c)
-                if existing is None:
-                    self.add_edge(top_c, bot_c, direct_w, direct_ref)
-                else:
-                    existing.multiplicity += direct_w
-                    existing.is_ref |= direct_ref
-            # splice edges carry multiplicity 1, is_ref ORed over the side
-            # they replace (add_prefix/suffix_node_and_edges :940-992)
-            if prefix_v is not None:
-                is_ref = any(e.is_ref for e in prefix_v.out_edges.values())
-                self.add_edge(top, prefix_v, 1, is_ref)
-            if suffix_v is not None:
-                is_ref = any(e.is_ref for e in suffix_v.in_edges.values())
-                self.add_edge(suffix_v, bottom, 1, is_ref)
-            changed = True
-        return changed
+    def split_common_suffixes(self):
+        already = set()
+        return self._run_to_fixed_point(
+            lambda v: self._try_split_common_suffix(v, already))
 
-    def merge_identical_incoming(self):
-        """Merge incoming vertices with identical sequence and identical
-        sole target (SharedSequenceMerger)."""
-        changed = False
-        for v in list(self.vertices):
-            if v.in_degree < 2:
-                continue
-            by_seq = {}
-            for p in v.in_edges:
-                if p.out_degree == 1 and p is not v:
-                    by_seq.setdefault(p.seq, []).append(p)
-            for seq, group in by_seq.items():
-                if len(group) < 2:
-                    continue
-                keep = group[0]
-                for p in group[1:]:
-                    e = p.out_edges.pop(v)
-                    v.in_edges.pop(p)
-                    ke = keep.out_edges.get(v)
-                    if ke is None:
-                        self.add_edge(keep, v, e.multiplicity, e.is_ref)
-                    else:
-                        ke.multiplicity += e.multiplicity
-                        ke.is_ref |= e.is_ref
-                    for q, e2 in list(p.in_edges.items()):
-                        q.out_edges.pop(p)
-                        self.add_edge(q, keep, e2.multiplicity, e2.is_ref)
-                    p.in_edges.clear()
-                    self.vertices.remove(p)
-                    if p is self.ref_source:
-                        self.ref_source = keep
-                    if p is self.ref_sink:
-                        self.ref_sink = keep
-                changed = True
-        return changed
+    def merge_common_suffices(self):
+        return self._run_to_fixed_point(self._try_merge_common_suffix)
 
-    def simplify(self, max_iterations=6):
-        """Iterate zip + suffix split + identical merge to a fixed point
-        (hc_assemble_seq_graph_simplify_graph)."""
-        for _ in range(max_iterations):
-            self.zip_linear_chains()
+    MAX_SIMPLIFY_CYCLES = 100    # hc_assemble_seq_graph.h:11
+    MAX_CHANGE_LOOPS = 5         # hc_assemble_seq_graph.h:12
+
+    def _snapshot(self):
+        """Structure key for the oscillation check (clone_graph /
+        equal_graphs, hc_assemble_seq_graph.c:443-452,570-604)."""
+        verts = sorted(v.seq for v in self.vertices)
+        edges = sorted((u.seq, w.seq, e.multiplicity, e.is_ref)
+                       for u in self.vertices
+                       for w, e in u.out_edges.items())
+        return verts, edges
+
+    def simplify(self):
+        """Iterate diamond merge + suffix split + identical merge + zip to
+        a fixed point (hc_assemble_seq_graph_simplify_graph,
+        hc_assemble_seq_graph.c:427-479): one up-front zip, then up to 100
+        cycles where ZIPPING COUNTS AS WORK, with an equal-structure
+        oscillation break after 5 cycles."""
+        self.zip_linear_chains()
+        prev = None
+        for i in range(self.MAX_SIMPLIFY_CYCLES):
             changed = self.merge_diamonds()
             changed |= self.split_common_suffixes()
-            changed |= self.merge_identical_incoming()
+            changed |= self.merge_common_suffices()
+            changed |= self.zip_linear_chains()
             if not changed:
                 break
-        self.zip_linear_chains()
+            if i > self.MAX_CHANGE_LOOPS:
+                snap = self._snapshot()
+                if prev is not None and snap == prev:
+                    break
+                prev = snap
 
     def remove_vertices_not_connected_to_ref_undirected(self):
         if self.ref_source is None:
@@ -932,11 +1081,20 @@ class SeqGraph:
         self.remove_vertices([v for v in self.vertices if v not in seen])
 
 
-def find_k_best_haplotypes(graph, max_haplotypes=MAX_HAPLOTYPES):
+def find_k_best_haplotypes(graph, max_haplotypes=MAX_HAPLOTYPES,
+                           results_start=0):
     """K-best source->sink paths by log10 edge-frequency score
     (hc_assemble_dijkstra_find_best_haplotypes; GATK
     GraphBasedKBestHaplotypeFinder). Returns [(seq_bytes, score, is_ref)]
-    sorted best-first."""
+    sorted best-first.
+
+    results_start: initial value of the reference's result_size counter.
+    The FIRST dijkstra call of a region pre-inserts the full reference
+    haplotype into its persistent result list (result_size = 1,
+    hc_assemble_dijkstra_shortest_path.c:219-233), so that call collects
+    one fewer path than later kmer-size calls (whose counter resets to 0,
+    :204). The while cap `result_size <= 128` therefore admits 128 paths
+    on the first call and 129 on subsequent ones."""
     source, sink = graph.ref_source, graph.ref_sink
     if source is None or sink is None:
         return []
@@ -959,7 +1117,7 @@ def find_k_best_haplotypes(graph, max_haplotypes=MAX_HAPLOTYPES):
     # heap entries: (-score, invkey(seq), tiebreak, seq, vertex, is_ref_path)
     heap = [(0.0, invkey(source.seq), next(counter), source.seq, source,
              True)]
-    while heap and len(results) <= max_haplotypes:
+    while heap and results_start + len(results) <= max_haplotypes:
         neg_score, _, _, seq, v, is_ref = heapq.heappop(heap)
         if v is sink:
             results.append((seq, -neg_score, is_ref))

@@ -144,8 +144,12 @@ class GermlineGenotypingEngine:
         gls = genotype_log10_likelihoods(ploidy, ra_lik.matrix)
         gls = gls - np.max(gls)
         pls = gls_to_pls(gls)
+        # the reference's Genotype stores ONLY the integer PLs; every later
+        # consumer (AF calculator/QUAL, allele subsetting) reconstructs
+        # log10 likelihoods as pl / -10 (genotype.cpp:12,
+        # germline_genotying_engine.cpp:390) — so QUAL is computed from
+        # PL-quantized likelihoods, not the raw GLs
         return Genotype(alleles=[NO_CALL] * ploidy, pl=list(pls),
-                        log10_likelihoods=list(gls),
                         sample=self.args.sample_name)
 
     def _annotation_likelihoods(self, ra_lik, call, filtered_reads=(),

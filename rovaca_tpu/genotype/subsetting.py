@@ -98,7 +98,7 @@ def subset_alleles(genotypes, ploidy, original_alleles, new_alleles,
             ad = [g.ad[i] for i in old_ad_idx]
         out.append(Genotype(alleles=gt, pl=list(pls),
                             gq=gq_from_pls(pls),
-                            log10_likelihoods=list(new), ad=ad, dp=g.dp,
+                            ad=ad, dp=g.dp,
                             sample=g.sample, attributes=dict(g.attributes)))
     return out
 

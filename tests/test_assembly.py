@@ -315,7 +315,9 @@ class TestSeqGraphSimplify:
         haps = {p[0] for p in find_k_best_haplotypes(sg)}
         assert haps == {b"AAACTTTGG", b"AAAGTTTGG"}
 
-    def test_merge_identical_incoming(self):
+    def test_merge_common_suffices(self):
+        """Identical incoming vertices merge WITH their target into one
+        combined vertex (split_merge_common_suffices, :239-328)."""
         sg = self._sg()
         top = sg.add_vertex(b"AA")
         m1 = sg.add_vertex(b"CC")
@@ -326,8 +328,10 @@ class TestSeqGraphSimplify:
         sg.add_edge(m1, bot, 1)
         sg.add_edge(m2, bot, 4)
         sg.ref_source, sg.ref_sink = top, bot
-        assert sg.merge_identical_incoming()
-        assert len(sg.vertices) == 3
+        assert sg.merge_common_suffices()
+        assert len(sg.vertices) == 2            # AA -> CCTT
+        sg.ref_source = top
+        (sg.ref_sink,) = [v for v in sg.vertices if v.seq == b"CCTT"]
         from rovaca_tpu.assembly.graph import find_k_best_haplotypes
         haps = {p[0] for p in find_k_best_haplotypes(sg)}
         assert haps == {b"AACCTT"}

@@ -10,13 +10,9 @@ apply/test/fake_assembler.cpp:80-92).
 This is the reference repo's own golden-file test pattern
 (apply/test/casedata/gatk_result.txt) pointed at *our* implementation:
 every region's post-finalization read count and lexicographically sorted
-haplotype set must match the reference binary byte-for-byte.
-
-Known tolerated divergence: regions saturating the 128-haplotype cap
-(>=128 haps both sides) may differ in <=4 marginal paths — WHICH path
-survives the reference's per-vertex call cap is an artifact of its exact
-seq-graph vertex granularity (the observed extra path is the globally
-worst-scoring one). See scripts/golden_assembly.py:diff.
+haplotype set must match the reference binary byte-for-byte — including
+the four 128-cap-saturated regions (no waiver; exact zip/splitter/cap
+semantics landed in round 4).
 """
 
 import importlib.util
@@ -60,7 +56,6 @@ def test_corpus_shape(corpus):
 def test_assembly_matches_reference_binary(corpus):
     ref, cases, golden = corpus
     mismatches = []
-    saturated = 0
     for beg, end, reads in cases:
         loc = f"chr1:{beg}-{end}"
         want_n, want_haps = golden[loc]
@@ -69,12 +64,7 @@ def test_assembly_matches_reference_binary(corpus):
             continue
         sym = (len([h for h in want_haps if h not in got_haps])
                + len([h for h in got_haps if h not in want_haps]))
-        if (len(want_haps) >= 128 and len(got_haps) >= 128 and sym <= 4
-                and got_n == want_n):
-            saturated += 1
-            continue
         mismatches.append(
             f"{loc}: reads {want_n}/{got_n} haps {len(want_haps)}/"
             f"{len(got_haps)} symdiff {sym}")
     assert not mismatches, "\n".join(mismatches)
-    assert saturated <= 4
