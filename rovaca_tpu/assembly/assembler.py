@@ -250,6 +250,17 @@ def assemble_region(reads, ref_window, window_start,
                         cigar=Cigar([(0, len(ref_window))]),
                         window_start=window_start)
 
+    import os
+    if not os.environ.get("ROVACA_NO_NATIVE_ASSEMBLY"):
+        from ..native import assemble_native
+        if assemble_native.available():
+            results = assemble_native.assemble_region_paths(
+                reads, ref_window, kmer_sizes, C.ASSEMBLY_KMER_STEP,
+                C.ASSEMBLY_MAX_KMER_ITERATIONS)
+            if results is not None:
+                return _finish_region_haplotypes(results, ref_hap,
+                                                 ref_window, window_start)
+
     results = {}
     any_success = False
     first_kbest = True
@@ -275,6 +286,11 @@ def assemble_region(reads, ref_window, window_start,
                 _merge_paths(results, paths, k)
                 break
 
+    return _finish_region_haplotypes(results, ref_hap, ref_window,
+                                     window_start)
+
+
+def _finish_region_haplotypes(results, ref_hap, ref_window, window_start):
     haplotypes = [ref_hap]
     for seq in sorted(results):
         if seq == ref_window:
