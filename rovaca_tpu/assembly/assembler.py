@@ -73,6 +73,49 @@ def sequences_for_assembly(read, kmer_size):
     return [bases[s:e] for s, e in zip(starts, ends) if e - s >= kmer_size]
 
 
+def prepare_region_native(reads, span_start, span_end, ref_window,
+                          window_start):
+    """Fused native finalize + overlap-adjust + assembly (one C call, no
+    Python round-trip between stages). Returns (finalized_reads,
+    haplotypes) or None when unavailable (caller uses the split path)."""
+    import os
+    if (os.environ.get("ROVACA_NO_NATIVE_ASSEMBLY")
+            or os.environ.get("ROVACA_NO_NATIVE_FINALIZE")):
+        return None
+    from ..native import prepare_native
+    if not prepare_native.available():
+        return None
+    if isinstance(ref_window, str):
+        ref_window = ref_window.encode()
+    out = prepare_native.prepare_region(
+        reads, span_start, span_end, ref_window, C.ASSEMBLY_KMER_SIZES,
+        C.ASSEMBLY_KMER_STEP, C.ASSEMBLY_MAX_KMER_ITERATIONS)
+    if out is None:
+        return None
+    fin, results = out
+    ref_hap = Haplotype(bases=ref_window, is_ref=True, score=0.0,
+                        cigar=Cigar([(0, len(ref_window))]),
+                        window_start=window_start)
+    return fin, _finish_region_haplotypes(results, ref_hap, ref_window,
+                                          window_start)
+
+
+def finalize_and_adjust(reads, span_start, span_end):
+    """finalize_region_reads + adjust_overlapping_pair_quals, through the
+    native finalizer when available (tests assert record-level identity)."""
+    import os
+    if not os.environ.get("ROVACA_NO_NATIVE_FINALIZE"):
+        from ..native import finalize_native
+        if finalize_native.available():
+            fin = finalize_native.finalize_region(reads, span_start,
+                                                  span_end)
+            if fin is not None:
+                return fin
+    fin = finalize_region_reads(reads, span_start, span_end)
+    adjust_overlapping_pair_quals(fin)
+    return fin
+
+
 def finalize_region_reads(reads, span_start, span_end):
     """Clip reads for assembly (hc_assemble_finalize_region) and sort by
     coordinate. Returns new ReadRecord list."""

@@ -26,6 +26,7 @@
 #include <vector>
 
 #include "sw.cpp"  // rovaca_sw_align: exact GATK SW (dangling-end recovery)
+#include "finalize.cpp"  // rovaca_fin::finalize_impl (fused prepare entry)
 
 namespace {
 
@@ -1398,4 +1399,49 @@ extern "C" int64_t rovaca_assemble_region(
     }
     out_off[order.size()] = pos;
     return (int64_t)order.size();
+}
+
+// Fused region prep: finalize + overlap-adjust + full kmer-ladder assembly
+// in one call, with the finalized reads flowing straight into the graph
+// build (no Python round-trip between the stages). Outputs both the
+// finalized read arrays (rovaca_finalize_region layout) and the haplotype
+// path arrays (rovaca_assemble_region layout). Returns n_haplotype_paths,
+// with *out_n_reads set, or -1 on any capacity overflow.
+extern "C" int64_t rovaca_prepare_region(
+    // raw region reads
+    int64_t n_reads, const uint8_t* names, const int64_t* name_off,
+    const int32_t* flag, const int32_t* ref_id, const int64_t* pos,
+    const int32_t* tlen, const int64_t* mate_pos, const int64_t* cig_off,
+    const int32_t* cig_n, const uint8_t* cig_ops, const int32_t* cig_lens,
+    const int64_t* seq_off, const int32_t* seq_len, const uint8_t* bases,
+    const uint8_t* quals, const int32_t* hard_left,
+    const int32_t* hard_right, int64_t span_start, int64_t span_end,
+    // assembly window + kmer ladder
+    const uint8_t* ref, int64_t ref_len, const int32_t* kmer_sizes,
+    int32_t n_kmers, int32_t kmer_step, int32_t max_iterations,
+    // finalized-read outputs
+    int32_t* out_idx, int64_t* out_pos, int32_t* out_hard_left,
+    int32_t* out_hard_right, int64_t* out_cig_off, int32_t* out_cig_n,
+    uint8_t* out_cig_ops, int32_t* out_cig_lens, int64_t out_cig_cap,
+    int64_t* out_seq_off, int32_t* out_seq_len, uint8_t* out_bases,
+    uint8_t* out_quals, int64_t out_seq_cap, int64_t max_out_reads,
+    int64_t* out_n_reads,
+    // haplotype outputs
+    uint8_t* hap_buf, int64_t hap_cap, int64_t* hap_off,
+    double* hap_scores, int32_t* hap_kmers, int64_t max_out_haps) {
+    std::vector<rovaca_fin::FRead> fin = rovaca_fin::finalize_impl(
+        n_reads, names, name_off, flag, ref_id, pos, tlen, mate_pos,
+        cig_off, cig_n, cig_ops, cig_lens, seq_off, seq_len, bases, quals,
+        hard_left, hard_right, span_start, span_end);
+    int64_t nf = rovaca_fin::serialize_fin(
+        fin, out_idx, out_pos, out_hard_left, out_hard_right, out_cig_off,
+        out_cig_n, out_cig_ops, out_cig_lens, out_cig_cap, out_seq_off,
+        out_seq_len, out_bases, out_quals, out_seq_cap, max_out_reads);
+    if (nf < 0) return -1;
+    *out_n_reads = nf;
+    // run the kmer ladder directly over the serialized finalized arrays
+    return rovaca_assemble_region(
+        ref, ref_len, nf, out_bases, out_quals, out_seq_off, out_seq_len,
+        kmer_sizes, n_kmers, kmer_step, max_iterations, hap_buf, hap_cap,
+        hap_off, hap_scores, hap_kmers, max_out_haps);
 }

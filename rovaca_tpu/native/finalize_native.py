@@ -1,0 +1,166 @@
+"""ctypes binding for the native region-read finalizer."""
+
+import ctypes
+import functools
+
+import numpy as np
+
+from . import build
+
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+
+
+@functools.lru_cache(maxsize=1)
+def _lib():
+    path = build.shared_lib("finalize")
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.rovaca_finalize_region.restype = ctypes.c_int64
+    lib.rovaca_finalize_region.argtypes = [
+        ctypes.c_int64, _u8p, _i64p, _i32p, _i32p, _i64p, _i32p, _i64p,
+        _i64p, _i32p, _u8p, _i32p, _i64p, _i32p, _u8p, _u8p, _i32p, _i32p,
+        ctypes.c_int64, ctypes.c_int64,
+        _i32p, _i64p, _i32p, _i32p, _i64p, _i32p, _u8p, _i32p,
+        ctypes.c_int64, _i64p, _i32p, _u8p, _u8p, ctypes.c_int64,
+        ctypes.c_int64]
+    return lib
+
+
+def available():
+    return _lib() is not None
+
+
+def pack_reads(reads):
+    """Flat input arrays for the native finalize/prepare entries."""
+    n = len(reads)
+    name_bytes = [r.name.encode() if isinstance(r.name, str) else r.name
+                  for r in reads]
+    name_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in name_bytes], out=name_off[1:])
+    names = np.frombuffer(b"".join(name_bytes), dtype=np.uint8)
+
+    flag = np.fromiter((r.flag for r in reads), np.int32, n)
+    ref_id = np.fromiter((r.ref_id for r in reads), np.int32, n)
+    pos = np.fromiter((r.pos for r in reads), np.int64, n)
+    tlen = np.fromiter((r.tlen for r in reads), np.int32, n)
+    mate_pos = np.fromiter((r.mate_pos for r in reads), np.int64, n)
+    hard_l = np.fromiter((r.hard_left for r in reads), np.int32, n)
+    hard_r = np.fromiter((r.hard_right for r in reads), np.int32, n)
+
+    cig_n = np.empty(n, dtype=np.int32)
+    ops_l, lens_l = [], []
+    for i, r in enumerate(reads):
+        el = r.cigar.elements
+        cig_n[i] = len(el)
+        for op, ln in el:
+            ops_l.append(int(op))
+            lens_l.append(ln)
+    cig_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(cig_n[:-1], out=cig_off[1:])
+    cig_ops = np.array(ops_l, dtype=np.uint8)
+    cig_lens = np.array(lens_l, dtype=np.int32)
+
+    seq_len = np.fromiter((len(r.bases) for r in reads), np.int32, n)
+    seq_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(seq_len[:-1], out=seq_off[1:])
+    total = int(seq_len.sum())
+    bases = np.frombuffer(b"".join(r.bases for r in reads), dtype=np.uint8)
+    quals = np.empty(total, dtype=np.uint8)
+    for i, r in enumerate(reads):
+        quals[seq_off[i]:seq_off[i] + seq_len[i]] = r.quals
+    return (names, name_off, flag, ref_id, pos, tlen, mate_pos, cig_off,
+            cig_n, cig_ops, cig_lens, seq_off, seq_len, bases, quals,
+            hard_l, hard_r, total)
+
+
+def alloc_outputs(n, cig_size, total):
+    cig_cap = cig_size + 4 * n + 16
+    seq_cap = total + 16
+    return dict(
+        cig_cap=cig_cap, seq_cap=seq_cap,
+        o_idx=np.empty(n, dtype=np.int32),
+        o_pos=np.empty(n, dtype=np.int64),
+        o_hl=np.empty(n, dtype=np.int32),
+        o_hr=np.empty(n, dtype=np.int32),
+        o_coff=np.empty(n, dtype=np.int64),
+        o_cn=np.empty(n, dtype=np.int32),
+        o_cops=np.empty(cig_cap, dtype=np.uint8),
+        o_clens=np.empty(cig_cap, dtype=np.int32),
+        o_soff=np.empty(n, dtype=np.int64),
+        o_slen=np.empty(n, dtype=np.int32),
+        o_bases=np.empty(seq_cap, dtype=np.uint8),
+        o_quals=np.empty(seq_cap, dtype=np.uint8))
+
+
+def build_records(reads, n_out, o):
+    """ReadRecords from the native finalized-read output arrays."""
+    from ..reads.cigar import Cigar, CigarOp
+    from ..reads.record import ReadRecord
+    base_buf = o["o_bases"].tobytes()
+    o_idx, o_pos = o["o_idx"], o["o_pos"]
+    o_coff, o_cn = o["o_coff"], o["o_cn"]
+    o_cops, o_clens = o["o_cops"], o["o_clens"]
+    o_soff, o_slen = o["o_soff"], o["o_slen"]
+    o_hl, o_hr, o_quals = o["o_hl"], o["o_hr"], o["o_quals"]
+    out = []
+    for i in range(n_out):
+        src = reads[o_idx[i]]
+        co, cn = int(o_coff[i]), int(o_cn[i])
+        cigar = Cigar.from_raw([(CigarOp(int(o_cops[co + j])),
+                                 int(o_clens[co + j])) for j in range(cn)])
+        so, sl = int(o_soff[i]), int(o_slen[i])
+        rec = ReadRecord(
+            name=src.name, flag=src.flag, ref_id=src.ref_id,
+            pos=int(o_pos[i]), mapping_quality=src.mapping_quality,
+            cigar=cigar, bases=base_buf[so:so + sl],
+            quals=o_quals[so:so + sl].copy(),
+            mate_ref_id=src.mate_ref_id, mate_pos=src.mate_pos,
+            tlen=src.tlen, tags=dict(src.tags.items()), contig=src.contig,
+            hard_left=int(o_hl[i]), hard_right=int(o_hr[i]))
+        rec._quals_private = True
+        out.append(rec)
+    return out
+
+
+def finalize_region(reads, span_start, span_end):
+    """Native finalize_region_reads + adjust_overlapping_pair_quals.
+
+    Returns a list of new ReadRecords (sorted, quals overlap-adjusted), or
+    None when the native library is unavailable/capacity exceeded."""
+    lib = _lib()
+    if lib is None:
+        return None
+    n = len(reads)
+    if n == 0:
+        return []
+    (names, name_off, flag, ref_id, pos, tlen, mate_pos, cig_off, cig_n,
+     cig_ops, cig_lens, seq_off, seq_len, bases, quals, hard_l, hard_r,
+     total) = pack_reads(reads)
+    o = alloc_outputs(n, int(cig_ops.size), total)
+
+    n_out = lib.rovaca_finalize_region(
+        n, names.ctypes.data_as(_u8p), name_off.ctypes.data_as(_i64p),
+        flag.ctypes.data_as(_i32p), ref_id.ctypes.data_as(_i32p),
+        pos.ctypes.data_as(_i64p), tlen.ctypes.data_as(_i32p),
+        mate_pos.ctypes.data_as(_i64p), cig_off.ctypes.data_as(_i64p),
+        cig_n.ctypes.data_as(_i32p), cig_ops.ctypes.data_as(_u8p),
+        cig_lens.ctypes.data_as(_i32p), seq_off.ctypes.data_as(_i64p),
+        seq_len.ctypes.data_as(_i32p), bases.ctypes.data_as(_u8p),
+        quals.ctypes.data_as(_u8p), hard_l.ctypes.data_as(_i32p),
+        hard_r.ctypes.data_as(_i32p), span_start, span_end,
+        o["o_idx"].ctypes.data_as(_i32p),
+        o["o_pos"].ctypes.data_as(_i64p),
+        o["o_hl"].ctypes.data_as(_i32p), o["o_hr"].ctypes.data_as(_i32p),
+        o["o_coff"].ctypes.data_as(_i64p), o["o_cn"].ctypes.data_as(_i32p),
+        o["o_cops"].ctypes.data_as(_u8p),
+        o["o_clens"].ctypes.data_as(_i32p), o["cig_cap"],
+        o["o_soff"].ctypes.data_as(_i64p),
+        o["o_slen"].ctypes.data_as(_i32p),
+        o["o_bases"].ctypes.data_as(_u8p),
+        o["o_quals"].ctypes.data_as(_u8p), o["seq_cap"], n)
+    if n_out < 0:
+        return None
+    return build_records(reads, n_out, o)

@@ -88,17 +88,20 @@ class RegionCaller:
                 # the reference finalizes reads AND corrects overlapping
                 # mate quals before the active check (hc_assemble_reads.c:
                 # 35-45; non-active returns right after)
-                fin = assembler.finalize_region_reads(reads, pad_start,
-                                                      pad_stop)
-                assembler.adjust_overlapping_pair_quals(fin)
+                fin = assembler.finalize_and_adjust(reads, pad_start,
+                                                    pad_stop)
                 return self._reference_confidence_only(
                     region, fin, ref, contig, (pad_start, pad_stop))
             return []
 
-        fin = assembler.finalize_region_reads(reads, pad_start, pad_stop)
-        assembler.adjust_overlapping_pair_quals(fin)
         window = bytes(ref[pad_start:pad_stop + 1])
-        haplotypes = assembler.assemble_region(fin, window, pad_start)
+        fused = assembler.prepare_region_native(reads, pad_start, pad_stop,
+                                                window, pad_start)
+        if fused is not None:
+            fin, haplotypes = fused
+        else:
+            fin = assembler.finalize_and_adjust(reads, pad_start, pad_stop)
+            haplotypes = assembler.assemble_region(fin, window, pad_start)
 
         if cfg.assemble_output_path:
             self._dump_assembly(region, contig, fin, haplotypes)
