@@ -297,8 +297,16 @@ class HaplotypeCaller:
         return merged_reader(self.args.bam_paths)
 
     def _reads_by_contig(self, reader, span):
-        """Filtered + downsampled reads grouped per contig (streaming)."""
+        """Filtered + downsampled reads grouped per contig (streaming).
+
+        One downsampler spans the whole run (the reference's stream is
+        global: a single LCG state and reservoir across contigs,
+        haplotypecaller.cpp:191-193). At contig boundaries the pending
+        reservoir flushes losslessly (the position-change finalize); at the
+        global end of stream the reference's iterator drops all but one
+        read of the final flush (see PositionalDownsampler.stream_consume)."""
         filt = HCReadFilter()
+        ds = PositionalDownsampler(target=self.args.max_reads_depth)
         current = None
         bucket = []
         for read in reader:
@@ -311,17 +319,15 @@ class HaplotypeCaller:
                 read = self.bqsr.apply(read)
             if read.contig != current:
                 if current is not None and bucket:
-                    yield current, self._downsample(bucket)
+                    out = ds.stream_consume(bucket, at_eof=False)
+                    out.extend(ds.finalize())
+                    yield current, out
                 current = read.contig
                 bucket = []
             bucket.append(read)
         if current is not None and bucket:
-            yield current, self._downsample(bucket)
+            yield current, ds.stream_consume(bucket, at_eof=True)
         self.stats["filtered"] = filt.filtered_count
-
-    def _downsample(self, reads):
-        ds = PositionalDownsampler(target=self.args.max_reads_depth)
-        return list(ds(iter(reads)))
 
     # ------------------------------------------------------------------
     def _call_contig(self, contig, reads, caller, writer, combiner, span):

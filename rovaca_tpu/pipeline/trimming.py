@@ -176,7 +176,12 @@ def trim_haplotypes(haplotypes, ref, span_start, span_stop):
                        kmer_size=h.kmer_size)
         seen[bases] = nh
         out.append(nh)
-    out.sort(key=lambda h: (not h.is_ref, h.bases))
+    # less_bases orders by LENGTH first, then lexicographically
+    # (allele.cpp:224-236; trim_haplotype_by_region's HaplotypeLess,
+    # adapter_utils.cpp:180-226): a deletion haplotype sorts before
+    # same-prefix longer ones, which fixes the event-collection order at
+    # spanning-deletion sites
+    out.sort(key=lambda h: (not h.is_ref, len(h.bases), h.bases))
     return out
 
 

@@ -101,3 +101,29 @@ class PositionalDownsampler:
             if self.finalized:
                 yield from self.consume()
         yield from self.finalize()
+
+    def stream_consume(self, reads, at_eof):
+        """Replicate the reference's ReadsDownsampleIterator + dispatch
+        consumption, including its end-of-stream read loss.
+
+        The iterator's has_next() is `upstream.has_next() AND no finalized
+        items` (reads_stream.h:238); the dispatch loop checks it BEFORE
+        each next() (ActiveMainThread.cpp:77-82), and the BAM loader's
+        has_next() stays stale-true until a read attempt hits EOF
+        (bam_loader.cpp:91,118-142). Net effect: every group finalized by
+        a position change is drained fully, but the END-SIGNAL reservoir
+        flush — the final alignment-start group of the whole stream — is
+        returned to the dispatcher exactly once before the gate goes
+        false, so all but its FIRST read are silently dropped.
+        Bit-equivalence requires reproducing that; pass at_eof=True only
+        for the stream's final segment."""
+        out = []
+        for read in reads:
+            self.submit(read)
+            if self.finalized:
+                out.extend(self.consume())
+        if at_eof:
+            tail = self.finalize()   # input_end_signal reservoir flush
+            if tail:
+                out.append(tail[0])
+        return out
