@@ -443,7 +443,10 @@ def _per_read_values(variant, likelihoods, kind):
         if not informative[r] or not is_usable_read(read):
             continue
         allele = likelihoods.alleles[int(best_idx[r])]
-        if allele == NON_REF or allele == SPAN_DEL:
+        if not allele.is_ref and not variant.has_allele(allele):
+            # reference: a non-ref best allele counts toward alt_quals iff
+            # it is one of the variant's alleles (rank_sum_test.cpp:51-56)
+            # — * and <NON_REF> qualify when the call carries them
             continue
         if kind == "mq":
             value = float(read.mapping_quality)

@@ -62,8 +62,14 @@ class AlleleLikelihoods:
         self.retain_evidence(lambda r: r.pos <= stop and r.end - 1 >= start)
 
     def add_non_reference_allele(self):
-        """NON_REF likelihood per read = max over alleles that are not the
-        read's best (i.e. the second best; allele_likelihoods.hpp:255)."""
+        """NON_REF likelihood per read = MEDIAN of the allele likelihoods
+        STRICTLY below the read's best; if none qualify, the best
+        likelihood itself when >=2 concrete alleles exist, else NaN
+        (add_non_reference_allele + update_non_ref_allele_likelihoods +
+        evaluate, allele_likelihoods.hpp:255-403). With two concrete
+        alleles this reduces to the second-best value; at multiallelic
+        sites (e.g. ref/*/alt in GVCF) the median over the below-best
+        pair differs from a plain second-best."""
         if any(a is NON_REF or a == NON_REF for a in self.alleles):
             return
         if self.n_reads == 0 or self.n_alleles == 0:
@@ -72,15 +78,19 @@ class AlleleLikelihoods:
                                      np.full((1, self.n_reads), -np.inf)])
             return
         m = self.matrix
-        best_idx = np.argmax(m, axis=0)
-        masked = m.copy()
-        masked[best_idx, np.arange(self.n_reads)] = -np.inf
-        if self.n_alleles == 1:
-            second = m[0]  # single allele: NON_REF likelihood equals it
-        else:
-            second = masked.max(axis=0)
+        n_concrete = self.n_alleles
+        best_lik = m.max(axis=0)
+        non_ref = np.empty(self.n_reads)
+        for r in range(self.n_reads):
+            qualified = m[:, r][m[:, r] < best_lik[r]]
+            if qualified.size:
+                non_ref[r] = np.median(qualified)
+            elif n_concrete > 1:
+                non_ref[r] = best_lik[r]
+            else:
+                non_ref[r] = np.nan
         self.alleles = list(self.alleles) + [NON_REF]
-        self.matrix = np.vstack([m, second[None, :]])
+        self.matrix = np.vstack([m, non_ref[None, :]])
 
     def best_allele_per_read(self):
         """(best_index, best_lik, second_lik, informative) per read

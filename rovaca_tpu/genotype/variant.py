@@ -120,6 +120,9 @@ class Variant:
     def is_biallelic(self):
         return len(self.alleles) == 2
 
+    def has_allele(self, allele):
+        return any(a == allele for a in self.alleles)
+
     @property
     def is_snp(self):
         return (len(self.ref) == 1 and len(self.alts) >= 1
