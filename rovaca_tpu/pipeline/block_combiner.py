@@ -12,6 +12,16 @@ import numpy as np
 from ..genotype.variant import NON_REF
 
 
+class _GqStub:
+    """gq fallback holder (used only when min_pls is None); module-level
+    so from_run doesn't build a class per band row."""
+
+    __slots__ = ("gq",)
+
+    def __init__(self, gq):
+        self.gq = gq
+
+
 class HomRefBlock:
     def __init__(self, first_vc, band_lo, band_hi):
         g = first_vc.genotypes[0]
@@ -40,12 +50,7 @@ class HomRefBlock:
         blk.band_hi = band_hi
         blk.dps = dps
         blk.min_pls = min_pls
-
-        class _G:  # gq fallback stub (used only when min_pls is None)
-            pass
-
-        blk.genotype = _G()
-        blk.genotype.gq = gq
+        blk.genotype = _GqStub(gq)
         return blk
 
     def accepts(self, vc, band_lo):

@@ -306,6 +306,14 @@ def build_position_obs(reads, padded_ref, padded_start, start, end):
     obs = PositionObs(L)
     padded_ref = np.asarray(padded_ref, dtype=np.uint8)
 
+    import os
+    if not os.environ.get("ROVACA_NO_NATIVE_POSOBS"):
+        from ..native import posobs_native
+        if posobs_native.available():
+            posobs_native.build_position_obs(obs, reads, padded_ref,
+                                             padded_start, start, end)
+            return obs
+
     flat_hist = []   # (status*L + off)*64 + qual entries, across reads
     info_offs = []   # flank offsets receiving an informative count
     for read in reads:
