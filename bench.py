@@ -160,15 +160,28 @@ def main():
         "vs_baseline": vs if vs is not None else 1.0,
     }
     # e2e race context (recorded by scripts/race_e2e.py against the
-    # reference binary built from source; see RACE_r03.json / GOLDEN.md)
-    race_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "RACE_r03.json")
+    # reference binary built from source; see RACE_r04.json / GOLDEN.md).
+    # The recording's commit + mtime are embedded so consumers can tell
+    # recorded context from live measurement.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    race_path = os.path.join(repo, "RACE_r04.json")
     try:
         with open(race_path) as f:
             race = json.load(f)["contenders"]
+        import subprocess as _sp
+        import time as _time
+        head = _sp.run(["git", "-C", repo, "rev-parse", "--short", "HEAD"],
+                       capture_output=True, text=True).stdout.strip()
         out["e2e_race"] = {k: {"wall_s": v["wall_s"],
                                "vs_reference": v.get("vs_reference")}
                            for k, v in race.items()}
+        out["e2e_race_recorded"] = {
+            "file": os.path.basename(race_path),
+            "mtime": _time.strftime(
+                "%Y-%m-%d %H:%M:%S",
+                _time.gmtime(os.path.getmtime(race_path))),
+            "bench_commit": head,
+        }
     except (OSError, KeyError, ValueError):
         pass
     print(json.dumps(out))

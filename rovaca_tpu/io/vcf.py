@@ -242,28 +242,65 @@ class VcfReader:
                     continue
                 contig, pos, rsid, ref, alts = (f[0], int(f[1]) - 1, f[2],
                                                 f[3], f[4])
+                flt = f[6] if len(f) > 6 else "."
                 self.by_contig.setdefault(contig, []).append(
-                    (pos, ref, alts.split(","), rsid))
+                    (pos, ref, alts.split(","), rsid, flt))
         for contig in self.by_contig:
             self.by_contig[contig].sort()
 
+    @staticmethod
+    def _events(start, ref, alts):
+        """Biallelic (start, ref, alt) events: a biallelic record is taken
+        AS-IS; multi-allelic alts are suffix- then prefix-trimmed with
+        the start advanced (split_variant_context_to_biallelics +
+        trim_alleles, rovaca_variant_context_utils.cpp:650-695)."""
+        if len(alts) == 1:
+            return [(start, ref, alts[0])]
+        out = []
+        for alt in alts:
+            r, a, s = ref, alt, start
+            if not a.startswith("<") and a != "*":
+                while len(r) > 1 and len(a) > 1 and r[-1] == a[-1]:
+                    r, a = r[:-1], a[:-1]
+                while len(r) > 1 and len(a) > 1 and r[0] == a[0]:
+                    r, a, s = r[1:], a[1:], s + 1
+            out.append((s, r, a))
+        return out
+
     def lookup_id(self, contig, start, ref_bases, alt_bases_list):
-        """rsID whose position and ref match, else None
-        (dbsnp ID-fill semantics)."""
+        """';'-joined rsIDs of unfiltered dbSNP records at the call start
+        that share a biallelic event with the call, else None
+        (variant_annotator_engine.cpp:99-170: same start, FILTER empty,
+        and at least one (start, ref, alt) event in common)."""
+        ref_s = ref_bases.decode() if isinstance(ref_bases, bytes) \
+            else ref_bases
+        alt_s = [a.decode() if isinstance(a, bytes) else a
+                 for a in alt_bases_list]
+        call_events = set(self._events(start, ref_s, alt_s))
+
         if self._tbi is not None:
             from . import tabix
+            rows = []
             for line in tabix.fetch_lines(self.path, self._tbi, contig,
                                           start, start + 1):
-                f = line.split("\t", 4)
-                if int(f[1]) - 1 == start and f[3].encode() == ref_bases:
-                    return f[2]
-            return None
-        import bisect
-        rows = self.by_contig.get(contig, [])
-        i = bisect.bisect_left(rows, (start, "", [], ""))
-        while i < len(rows) and rows[i][0] == start:
-            pos, ref, alts, rsid = rows[i]
-            if ref.encode() == ref_bases:
-                return rsid
-            i += 1
-        return None
+                f = line.split("\t")
+                if len(f) >= 5 and int(f[1]) - 1 == start:
+                    rows.append((start, f[3], f[4].split(","), f[2],
+                                 f[6] if len(f) > 6 else "."))
+        else:
+            import bisect
+            all_rows = self.by_contig.get(contig, [])
+            i = bisect.bisect_left(all_rows, (start, "", [], "", ""))
+            rows = []
+            while i < len(all_rows) and all_rows[i][0] == start:
+                rows.append(all_rows[i])
+                i += 1
+
+        ids = []
+        for pos, ref, alts, rsid, flt in rows:
+            if flt not in (".", ""):
+                continue   # the reference skips any filtered record
+            if any(ev in call_events
+                   for ev in self._events(pos, ref, alts)):
+                ids.append(rsid)
+        return ";".join(ids) if ids else None

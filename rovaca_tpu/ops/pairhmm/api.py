@@ -59,8 +59,13 @@ def log10_with_rescue(raw_matrix, reads, haps, pcr_model="CONSERVATIVE",
     hap_bytes = [h.encode() if isinstance(h, str) else bytes(h) for h in haps]
     rescued = list(zip(*np.nonzero(~ok)))
     if len(rescued) >= 8:
-        raws = _rescue_batch_f64(rescued, reads, hap_bytes, pcr_model,
-                                 min_quality_threshold)
+        try:
+            raws = _rescue_batch_f64(rescued, reads, hap_bytes, pcr_model,
+                                     min_quality_threshold)
+        except RuntimeError:
+            # no CPU backend registered (JAX_PLATFORMS pins the TPU
+            # plugin only): fall through to the numpy golden forward
+            raws = None
     else:
         raws = None
     for k, (h_idx, r_idx) in enumerate(rescued):

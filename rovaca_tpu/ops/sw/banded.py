@@ -166,7 +166,9 @@ def _banded_kernel(ref_ref, alt_ref, nm_ref, off_ref, bt_ref, colm_ref,
         B = hv + wo - we * lane            # B[k]-e*k (+e*w added back below)
         B = jnp.where(j_lane >= 0, B, NEG)
         gmax, gargw = _excl_cummax_arg(B)
-        G = gmax + we * lane
+        # gap source k -> lane w costs wo + (w-k-1)*we (the open already
+        # covers the first gap base): add we*(lane-1), not we*lane
+        G = gmax + we * (lane - 1)
         ki = lane - gargw
 
         use_gap = (d < v_new) | (d < G)
@@ -270,8 +272,16 @@ class BandedSWResult:
 
 
 def _traceback_band(bt, colm, lastrow, n, m, offset, overhang, maxscore_edge):
-    """Exact GATK end-cell search + traceback over the band, or None if the
-    optimum path is not provably inside the band."""
+    """Exact GATK end-cell search + traceback over the band, or None when
+    the band-edge guard suggests the optimum may live outside.
+
+    The guard is a HEURISTIC, not a proof: it falls back whenever any
+    band-edge score competes with the in-band maximum, which catches the
+    practical failure mode (the true diagonal drifting out of the band)
+    but cannot detect a path that dips below the in-band maximum at the
+    edge and regains score outside. Production call sites pair this with
+    well-centered diagonals from a prior alignment, where the heuristic
+    has matched the exact oracle on every tested corpus."""
     segment_length = 0
     if overhang == OverhangStrategy.INDEL:
         p1, p2 = n, m

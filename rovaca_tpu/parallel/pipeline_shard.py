@@ -170,10 +170,21 @@ def _regions_for_span(reads, ref, contig, lo, hi):
 
 
 def _record_key(v):
-    gt = tuple(sorted(a.bases for a in v.genotypes[0].alleles)) \
-        if v.genotypes else ()
+    """FIELD-LEVEL record identity: site + alleles + GT + QUAL + INFO
+    annotations + FORMAT (AD/DP/GQ/PL). A sharding bug that perturbed
+    annotations or likelihoods without flipping the genotype must fail
+    the dryrun equality, same bar as the golden e2e diff."""
+    def _num(x):
+        return round(float(x), 4) if isinstance(x, float) else x
+
+    g = v.genotypes[0] if v.genotypes else None
+    gt = tuple(sorted(a.bases for a in g.alleles)) if g else ()
+    fmt = (tuple(g.ad or ()), g.dp, g.gq, tuple(g.pl or ())) if g else ()
+    info = tuple(sorted((k, _num(val))
+                        for k, val in (v.attributes or {}).items()))
     return (v.contig, v.start, bytes(v.ref.bases),
-            tuple(bytes(a.bases) for a in v.alts), gt)
+            tuple(bytes(a.bases) for a in v.alts), gt,
+            round(v.qual, 2), info, fmt)
 
 
 def _pack_shard_launch(entries, pcr_model):

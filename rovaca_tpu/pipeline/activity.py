@@ -280,7 +280,7 @@ def accumulate_reads(win, reads, ref):
 
     starts, qoffs, lens = [], [], []
     base_parts, qual_parts = [], []
-    bounds, revs = [], []            # adaptor boundary (0 = none) per read
+    bounds, revs = [], []            # adaptor boundary (-1 = none) per read
     edge_first, edge_last = [], []   # (concat_index, read) pairs
     n_acc = 0
     for read in reads:

@@ -309,9 +309,39 @@ class HaplotypeCaller:
         ds = PositionalDownsampler(target=self.args.max_reads_depth)
         current = None
         bucket = []
+        # WES: the reference's loader fetches ONLY reads overlapping the
+        # padded targets (hts_itr_multi over all_padded_intervals,
+        # rovaca_tool.hpp:275) — the downsampler therefore consumes the
+        # targeted stream. Filter identically so deep-pileup reservoir
+        # draws stay bit-equal.
+        wes_ivals = {}
+        if self.bed is not None:
+            import numpy as np_
+            for ctg in self.fasta.contig_dict:
+                ivs = self.bed.padded_intervals(ctg)
+                if ivs:
+                    wes_ivals[ctg] = (
+                        np_.array([s for s, _ in ivs], dtype=np_.int64),
+                        np_.array([e for _, e in ivs], dtype=np_.int64))
+
+        def on_target(read):
+            ivs = wes_ivals.get(read.contig)
+            if ivs is None:
+                return False
+            starts, ends = ivs
+            import bisect
+            i = bisect.bisect_right(starts, read.pos)
+            # candidate: the interval starting at or before read.pos, or
+            # the next one beginning before read.end
+            if i > 0 and ends[i - 1] > read.pos:
+                return True
+            return i < len(starts) and starts[i] < read.end
+
         for read in reader:
             self.stats["reads"] += 1
             if span and read.contig != span[0]:
+                continue
+            if self.bed is not None and not on_target(read):
                 continue
             if not filt.test(read):
                 continue

@@ -159,18 +159,24 @@ class PairHMMScheduler:
 
         jobs = list(self.jobs)
         raws = [None] * len(jobs)
+        error = []
 
         def score():
-            for k, job in enumerate(jobs):
-                b = job.batch
-                raws[k] = pairhmm_native.pairhmm_dense(
-                    b.trans, b.rbase, b.rlen, b.hbase, b.hlen)
+            try:
+                for k, job in enumerate(jobs):
+                    b = job.batch
+                    raws[k] = pairhmm_native.pairhmm_dense(
+                        b.trans, b.rbase, b.rlen, b.hbase, b.hlen)
+            except BaseException as e:  # re-raised in collect()
+                error.append(e)
         t = threading.Thread(target=score, name="pairhmm-native",
                              daemon=True)
         t.start()
 
         def collect():
             t.join()
+            if error:
+                raise error[0]
             for k, job in enumerate(jobs):
                 self._postprocess(job, job.batch.result_matrix(raws[k]))
         return collect

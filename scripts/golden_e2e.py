@@ -156,7 +156,7 @@ def parse_vcf(path):
             cols = line.rstrip("\n").split("\t")
             chrom, pos, _id, ref, alt, qual, _flt, info = cols[:8]
             rec = {"chrom": chrom, "pos": int(pos), "ref": ref,
-                   "alts": alt.split(","),
+                   "alts": alt.split(","), "id": _id,
                    "qual": None if qual == "." else float(qual),
                    "info": {}, "fmt": {}}
             for kv in info.split(";"):
@@ -196,7 +196,7 @@ def _num_list_close(a, b, tol):
     return all(_close(u, v, tol) for u, v in zip(xa, xb))
 
 
-def diff(outdir, gvcf=False):
+def diff(outdir, gvcf=False, check_id=False):
     ours_path = os.path.join(outdir, "ours.g.vcf" if gvcf else "ours.vcf")
     ref_path = os.path.join(outdir, "ref.g.vcf" if gvcf else "ref.vcf")
     ours, ours_order = parse_vcf(ours_path)
@@ -251,6 +251,8 @@ def diff(outdir, gvcf=False):
         gb = _gt_multiset(b["fmt"].get("GT"), b["alts"])
         if ga != gb:
             msgs.append(f"GT {ga} vs {gb}")
+        if check_id and a.get("id") != b.get("id"):
+            msgs.append(f"ID {a.get('id')} vs {b.get('id')}")
         if a["qual"] is not None and b["qual"] is not None and \
                 not _close(a["qual"], b["qual"], QUAL_TOL):
             msgs.append(f"QUAL {a['qual']} vs {b['qual']}")
@@ -304,6 +306,6 @@ if __name__ == "__main__":
     elif cmd == "ref":
         run_ref(outdir, gvcf)
     elif cmd == "diff":
-        sys.exit(diff(outdir, gvcf))
+        sys.exit(diff(outdir, gvcf, check_id="--check-id" in sys.argv))
     else:
         raise SystemExit(f"unknown command {cmd}")

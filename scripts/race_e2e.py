@@ -30,6 +30,46 @@ REF_BIN = os.path.join(REPO, ".refbuild", "ref", "build-dev", "bin",
                        "rovaca")
 
 
+def parse_vcf_records(path):
+    """{(contig, pos, ref, alts): (line_fields, DP)} over a VCF file."""
+    out = {}
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            f = line.rstrip("\n").split("\t")
+            key = (f[0], int(f[1]), f[3], f[4])
+            dp = 0
+            for kv in f[7].split(";"):
+                if kv.startswith("DP="):
+                    dp = int(kv[3:])
+            out[key] = (f, dp)
+    return out
+
+
+def depth_masked_diff(unsharded_path, sharded_path, max_depth=50):
+    """Verify the sharded-vs-unsharded divergence is CONFINED to
+    reservoir-downsampled pileups: records may differ only at sites where
+    either side reports DP >= max_depth (the traversal-split Java-LCG
+    stream picks different survivors there, exactly as the reference does
+    under -L splits; see module docstring). Returns (ok, detail)."""
+    a = parse_vcf_records(unsharded_path)
+    b = parse_vcf_records(sharded_path)
+    bad = []
+    for key in sorted(set(a) | set(b)):
+        ra, rb = a.get(key), b.get(key)
+        if ra is not None and rb is not None and ra[0] == rb[0]:
+            continue
+        dp = max(ra[1] if ra else 0, rb[1] if rb else 0)
+        if dp < max_depth:
+            bad.append((key, "missing" if ra is None or rb is None
+                        else "fields", dp))
+    if bad:
+        return False, f"DIVERGENT beyond depth mask: {bad[:5]}"
+    n_deep = sum(1 for key in set(a) & set(b) if a[key][0] != b[key][0])
+    return True, f"MATCH (depth-masked; {n_deep} deep-pileup sites differ)"
+
+
 def _run(cmd, env=None, tag=""):
     t0 = time.perf_counter()
     r = subprocess.run(cmd, env=env, capture_output=True, text=True,
@@ -59,7 +99,7 @@ def main():
     results = {"genome_len": genome_len, "coverage": coverage, "seed": seed,
                "n_reads": n_reads, "contenders": {}}
 
-    # 1. reference binary (2 threads = all cores)
+    # 1. reference binary (2 threads = all cores), VCF + GVCF modes
     env = dict(os.environ)
     env["LD_LIBRARY_PATH"] = os.path.dirname(REF_BIN)
     dt = _run([REF_BIN, "HaplotypeCaller", "-I", bam,
@@ -69,6 +109,14 @@ def main():
     results["contenders"]["reference_avx"] = {
         "wall_s": round(dt, 2), "reads_per_s": round(n_reads / dt)}
     print(f"reference: {dt:.2f}s", flush=True)
+    dt = _run([REF_BIN, "HaplotypeCaller", "-I", bam,
+               "-R", os.path.join(outdir, "ref.fa"),
+               "-O", os.path.join(outdir, "ref.g.vcf"),
+               "--emit-ref-confidence", "GVCF",
+               "--nthreads", "2"], env=env, tag="reference_gvcf")
+    results["contenders"]["reference_avx_gvcf"] = {
+        "wall_s": round(dt, 2), "reads_per_s": round(n_reads / dt)}
+    print(f"reference gvcf: {dt:.2f}s", flush=True)
 
     # 2. ours, default TPU path (warm persistent cache assumed; the race is
     #    steady-state throughput, not first-ever-machine compile time)
@@ -79,10 +127,11 @@ def main():
     # ours_cpu: auto resolves to the native host SIMD engine (the
     # reference-parity CPU engine slot); ours_cpu_2shard races the
     # reference's 2 threads with 2 interval-shard processes.
-    for name, engine, platforms, shards in (
-            ("ours_tpu", "auto", None, 0),
-            ("ours_cpu", "auto", "cpu", 0),
-            ("ours_cpu_2shard", "auto", "cpu", 2)):
+    for name, engine, platforms, shards, gvcf in (
+            ("ours_tpu", "auto", None, 0, False),
+            ("ours_cpu", "auto", "cpu", 0, False),
+            ("ours_cpu_gvcf", "auto", "cpu", 0, True),
+            ("ours_cpu_2shard", "auto", "cpu", 2, False)):
         env2 = dict(env)
         if platforms:
             env2["JAX_PLATFORMS"] = platforms
@@ -95,6 +144,8 @@ def main():
                "HaplotypeCaller", "-i", bam,
                "-r", os.path.join(outdir, "ref.fa"),
                "-o", out, "--pairhmm-engine", engine]
+        if gvcf:
+            cmd += ["--emit-ref-confidence", "GVCF"]
         if shards:
             cmd += ["--shards", str(shards)]
             env2["ROVACA_NATIVE_THREADS"] = "1"
@@ -103,18 +154,31 @@ def main():
             "wall_s": round(dt, 2), "reads_per_s": round(n_reads / dt)}
         print(f"{name}: {dt:.2f}s", flush=True)
         # field-level diff vs the reference output (golden_e2e reads the
-        # fixed ours.vcf name)
+        # fixed ours[.g].vcf name)
         import shutil
-        shutil.copyfile(out, os.path.join(outdir, "ours.vcf"))
-        cp = subprocess.run([sys.executable, ge, "diff", outdir],
-                            capture_output=True, text=True)
+        shutil.copyfile(out, os.path.join(
+            outdir, "ours.g.vcf" if gvcf else "ours.vcf"))
+        cp = subprocess.run(
+            [sys.executable, ge, "diff", outdir] + (["--gvcf"] if gvcf
+                                                    else []),
+            capture_output=True, text=True)
         tail = cp.stdout.strip().splitlines()
         results["contenders"][name]["diff_vs_ref"] = (
             tail[-1] if tail else f"diff rc={cp.returncode}")
+        if shards:
+            # the sharded run may only diverge from the unsharded one at
+            # >max-depth reservoir pileups (traversal-split LCG stream)
+            ok, detail = depth_masked_diff(
+                os.path.join(outdir, "ours_cpu.vcf"), out)
+            results["contenders"][name]["diff_vs_unsharded"] = detail
+            if not ok:
+                print(f"WARNING {name}: {detail}", flush=True)
 
     ref_t = results["contenders"]["reference_avx"]["wall_s"]
+    ref_gt = results["contenders"]["reference_avx_gvcf"]["wall_s"]
     for k, v in results["contenders"].items():
-        v["vs_reference"] = round(ref_t / v["wall_s"], 3)
+        base = ref_gt if k.endswith("gvcf") else ref_t
+        v["vs_reference"] = round(base / v["wall_s"], 3)
     path = os.path.join(outdir, "RACE.json")
     with open(path, "w") as f:
         json.dump(results, f, indent=1)

@@ -70,6 +70,39 @@ def test_wrong_diagonal_falls_back_exactly():
     assert res.result.alignment_offset == want.alignment_offset
 
 
+def test_near_tie_gap_placement_on_kernel_path():
+    """Gap cost is wo + (len-1)*we — an off-by-one extend biases near-tie
+    placements. Reads with short indels inside a correct band must yield
+    the oracle's cigar WITHOUT falling back (regression for the horizontal
+    max-plus scan's extend accounting)."""
+    rng = np.random.default_rng(20260821)
+    cases, diags = [], []
+    for _ in range(24):
+        hap = _seq(rng, int(rng.integers(200, 380)))
+        off = int(rng.integers(0, max(1, len(hap) - 140)))
+        read = bytearray(hap[off:off + int(rng.integers(70, 130))])
+        # a short indel mid-read with repeat context (near-tie placements)
+        i = int(rng.integers(20, max(21, len(read) - 25)))
+        if rng.integers(2):
+            read[i:i] = read[i:i + int(rng.integers(1, 3))]  # dup insertion
+        else:
+            del read[i:i + int(rng.integers(1, 3))]
+        cases.append((hap, bytes(read)))
+        diags.append(off)
+    res = sw_align_banded_batch(cases, READ_TO_HAPLOTYPE_PARAMS,
+                                overhang=OverhangStrategy.SOFTCLIP,
+                                diagonals=diags, interpret=True)
+    n_kernel = 0
+    for (ref, alt), r in zip(cases, res):
+        want = _sw_align_python(ref, alt, READ_TO_HAPLOTYPE_PARAMS,
+                                OverhangStrategy.SOFTCLIP)
+        assert str(r.result.cigar) == str(want.cigar), \
+            f"fell_back={r.fell_back}"
+        assert r.result.alignment_offset == want.alignment_offset
+        n_kernel += not r.fell_back
+    assert n_kernel >= len(cases) // 2   # most must resolve in-band
+
+
 def test_indel_family_uses_host_path():
     rng = np.random.default_rng(3)
     hap = _seq(rng, 300)

@@ -64,9 +64,11 @@ class TestTabix:
         path, _, poss = indexed_vcf
         rd = VcfReader(path)
         assert rd._tbi is not None
-        assert rd.lookup_id("chr1", poss[42], b"A", None) == "rs42"
-        assert rd.lookup_id("chr1", poss[42], b"T", None) is None
-        assert rd.lookup_id("chr2", 3000, b"CT", None) == "rsB3"
+        assert rd.lookup_id("chr1", poss[42], b"A", [b"G"]) == "rs42"
+        # shared-event matching: same pos but different ref or alt -> None
+        assert rd.lookup_id("chr1", poss[42], b"T", [b"G"]) is None
+        assert rd.lookup_id("chr1", poss[42], b"A", [b"C"]) is None
+        assert rd.lookup_id("chr2", 3000, b"CT", [b"C"]) == "rsB3"
 
     def test_vcfreader_eager_without_index(self, indexed_vcf, tmp_path):
         path, lines, poss = indexed_vcf
@@ -76,4 +78,4 @@ class TestTabix:
             fh.write(src.read())
         rd = VcfReader(plain)
         assert rd._tbi is None
-        assert rd.lookup_id("chr1", poss[42], b"A", None) == "rs42"
+        assert rd.lookup_id("chr1", poss[42], b"A", [b"G"]) == "rs42"
