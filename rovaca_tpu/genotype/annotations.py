@@ -251,7 +251,9 @@ def _hypergeom_log_pmf(x, population, successes, sample):
 
 _FS_TARGET_TABLE_SIZE = 200    # fisher_strand.cpp:15
 _FS_REL_ERR = 1 - 10e-7        # fisher_strand.cpp:13
-_MIN_LOG10_SCALED_QUAL = math.log10(4.9e-324)  # quality_utils.cpp:11
+# log10(Double.MIN_VALUE) (quality_utils.cpp:11); the literal guards
+# against DAZ environments where the denormal 4.9e-324 reads as zero
+_MIN_LOG10_SCALED_QUAL = -323.3062153431158
 
 
 def _fisher_two_sided_pvalue(table):

@@ -131,6 +131,10 @@ extern "C" void rovaca_pairhmm_dense(const float* trans, const int32_t* rbase,
 #pragma omp parallel
     {
 #if defined(__x86_64__) || defined(_M_X64)
+        // the calling thread participates in the parallel region: restore
+        // its MXCSR afterwards, or FTZ+DAZ leaks into the host process
+        // (observed: log10(denormal) raising a domain error later)
+        const unsigned saved_csr = _mm_getcsr();
         _MM_SET_FLUSH_ZERO_MODE(_MM_FLUSH_ZERO_ON);
 #if defined(_MM_DENORMALS_ZERO_ON)
         _MM_SET_DENORMALS_ZERO_MODE(_MM_DENORMALS_ZERO_ON);
@@ -160,5 +164,8 @@ extern "C" void rovaca_pairhmm_dense(const float* trans, const int32_t* rbase,
         std::free(st.m);
         std::free(st.i);
         std::free(st.d);
+#if defined(__x86_64__) || defined(_M_X64)
+        _mm_setcsr(saved_csr);
+#endif
     }
 }

@@ -78,6 +78,14 @@ class PairHMMScheduler:
     # possible compile) loses to the host XLA path — fall back
     SMALL_TILES = 48
 
+    # sticky auto-engine decision on TPU backends: the first flush group
+    # races the device path against the native host engine on identical
+    # work; whichever wins handles the rest of the run. A tunnel-attached
+    # chip (38ms round-trips, remote compiles) can lose to the host SIMD
+    # engine on small corpora — "TPU-native" must never mean "slower with
+    # the TPU than without it".
+    _auto_probe = None   # None = unprobed; "device" | "native"
+
     def dispatch(self):
         """Build batches and enqueue all device work WITHOUT fetching.
 
@@ -98,6 +106,16 @@ class PairHMMScheduler:
                        and backend_name() == "tpu"
                        and (self.engine == "pallas"
                             or est_tiles >= small_floor))
+        if (use_indexed and self.engine == "auto"
+                and not os.environ.get("ROVACA_NO_AUTO_PROBE")):
+            from ..native import pairhmm_native
+            if pairhmm_native.available():
+                choice = PairHMMScheduler._auto_probe
+                if choice is None and self.jobs:
+                    self._collect_fn = self._probe_engines()
+                    return
+                if choice == "native":
+                    use_indexed = False
         if use_indexed:
             from ..ops.pairhmm import compact
             for job in self.jobs:
@@ -124,6 +142,59 @@ class PairHMMScheduler:
             else:
                 self._collect_fn = self._dispatch_single(
                     force_cpu=backend_name() == "tpu")
+
+    def _probe_engines(self):
+        """Score the current flush group on BOTH the native host engine
+        and the PRODUCTION device path (compact indexed launches), time
+        them, and pin the winner for the whole run. Results come from the
+        device leg (the engines are float-validated against each other:
+        tests/test_pairhmm.py), or from native if the device leg fails."""
+        import time
+
+        from ..native import pairhmm_native
+        from ..utils import logging as rlog
+
+        jobs = list(self.jobs)
+        dense = []
+        for job in jobs:
+            dense.append(prep.build_pair_batch(
+                job.reads, job.haps, pcr_model=job.pcr_model,
+                min_quality_threshold=self.mqt))
+        t0 = time.perf_counter()
+        raws = []
+        for b in dense:
+            raws.append(pairhmm_native.pairhmm_dense(
+                b.trans, b.rbase, b.rlen, b.hbase, b.hlen))
+        t_native = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        try:
+            from ..ops.pairhmm import compact
+            for job in jobs:
+                job.batch = compact.build_pair_batch_compact(
+                    job.reads, job.haps, pcr_model=job.pcr_model,
+                    min_quality_threshold=self.mqt)
+            collect_device = self._dispatch_indexed()
+            collect_device()          # fetch + postprocess (sets .result)
+            t_device = time.perf_counter() - t0
+            device_ok = True
+        except Exception:
+            t_device = float("inf")
+            device_ok = False
+        choice = "native" if t_native <= t_device else "device"
+        PairHMMScheduler._auto_probe = choice
+        rlog.logger.info(
+            "auto-engine probe: native %.2fs vs device %.2fs -> %s",
+            t_native, t_device, choice)
+        if device_ok:
+            return lambda: None
+        # device leg failed: use the native results
+
+        def collect():
+            for job, b, raw in zip(jobs, dense, raws):
+                job.batch = b
+                self._postprocess(job, b.result_matrix(raw))
+        return collect
 
     def collect(self):
         """Fetch + postprocess everything dispatched; {key: (lik, kept)}."""
