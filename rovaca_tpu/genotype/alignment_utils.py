@@ -241,6 +241,25 @@ def realign_read_to_haplotype(read, hap, h2r=None, sw_result=None,
     return read.copy(pos=new_pos, cigar=cigar)
 
 
+def _use_banded_tpu_sw():
+    """Route realignment SW through the banded Pallas kernel?
+
+    ROVACA_BANDED_REALIGN=1 forces it, =0 disables. Default: only on a
+    TPU backend where the pairhmm auto-probe chose the DEVICE path —
+    i.e. the chip demonstrably pays for batched work on this link. On a
+    high-latency tunnel the probe picks the native engine and realignment
+    stays on the native SW batch."""
+    import os
+    env = os.environ.get("ROVACA_BANDED_REALIGN")
+    if env is not None:
+        return env not in ("0", "false", "")
+    from ..utils.platform import backend_name
+    if backend_name() != "tpu":
+        return False
+    from ..pipeline.scheduler import PairHMMScheduler
+    return PairHMMScheduler._auto_probe == "device"
+
+
 def realign_reads_to_their_best_haplotype(likelihoods):
     """Replace evidence reads with realigned versions (per-read best
     haplotype, ties to the reference haplotype). Mutates `likelihoods.reads`.
@@ -284,12 +303,27 @@ def realign_reads_to_their_best_haplotype(likelihoods):
             else:
                 batch_idx.append(r)
                 pairs.append((hap.bases, read.bases))
-        for r, res in zip(batch_idx, sw_native.align_batch(
+        if batch_idx and _use_banded_tpu_sw():
+            # read->best-hap realignment through the banded Pallas kernel
+            # (exact-or-fallback contract; diagonals seeded from the
+            # read's genomic offset within its haplotype window)
+            from ..ops.sw import sw_align_banded_batch
+            diags = [max(0, likelihoods.reads[r].pos
+                         - getattr(best_haps[r], "window_start",
+                                   likelihoods.reads[r].pos))
+                     for r in batch_idx]
+            banded = sw_align_banded_batch(
                 pairs, READ_TO_HAPLOTYPE_PARAMS,
-                int(OverhangStrategy.SOFTCLIP))):
-            if res is not None:
-                ops, lens, offset = res
-                sw_results[r] = SWResult(Cigar(zip(ops, lens)), offset)
+                overhang=OverhangStrategy.SOFTCLIP, diagonals=diags)
+            for r, br in zip(batch_idx, banded):
+                sw_results[r] = br.result
+        else:
+            for r, res in zip(batch_idx, sw_native.align_batch(
+                    pairs, READ_TO_HAPLOTYPE_PARAMS,
+                    int(OverhangStrategy.SOFTCLIP))):
+                if res is not None:
+                    ops, lens, offset = res
+                    sw_results[r] = SWResult(Cigar(zip(ops, lens)), offset)
 
     ref_hap = haps[ref_idx]
     new_reads = []

@@ -377,6 +377,10 @@ def sw_align_banded_batch(pairs, params, overhang=OverhangStrategy.SOFTCLIP,
     B = len(pairs)
     if B == 0:
         return []
+    if not interpret:
+        from ...utils.platform import backend_name
+        if backend_name() != "tpu":
+            interpret = True   # CPU backends run the kernel interpreted
     if overhang in (OverhangStrategy.INDEL, OverhangStrategy.LEADING_INDEL):
         # global strategies: band cannot soundly contain the optimum
         return [BandedSWResult(
