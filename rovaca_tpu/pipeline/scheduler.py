@@ -167,28 +167,51 @@ class PairHMMScheduler:
                 b.trans, b.rbase, b.rlen, b.hbase, b.hlen))
         t_native = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        try:
-            from ..ops.pairhmm import compact
-            for job in jobs:
-                job.batch = compact.build_pair_batch_compact(
-                    job.reads, job.haps, pcr_model=job.pcr_model,
-                    min_quality_threshold=self.mqt)
-            collect_device = self._dispatch_indexed()
-            collect_device()          # fetch + postprocess (sets .result)
-            t_device = time.perf_counter() - t0
-            device_ok = True
-        except Exception:
-            t_device = float("inf")
-            device_ok = False
+        # device leg on a worker thread with a hard deadline: a cold
+        # tunnel compile can cost minutes, and a probe must never cost
+        # more than a few times the work it is sizing. If the deadline
+        # passes, native wins and the stray device work is abandoned.
+        import os
+        import threading
+
+        deadline = float(os.environ.get("ROVACA_PROBE_DEADLINE",
+                                        str(max(4.0 * t_native, 20.0))))
+        state = {}
+
+        # shadow jobs: the device leg must share nothing with the real
+        # jobs, so an over-deadline leg can be abandoned without racing
+        shadow_sched = PairHMMScheduler(engine="pallas",
+                                        min_quality_threshold=self.mqt)
+        for job in jobs:
+            shadow_sched.submit(job.key, job.reads, job.haps,
+                                pcr_model=job.pcr_model)
+
+        def device_leg():
+            try:
+                from ..ops.pairhmm import compact
+                t0 = time.perf_counter()
+                for sj in shadow_sched.jobs:
+                    sj.batch = compact.build_pair_batch_compact(
+                        sj.reads, sj.haps, pcr_model=sj.pcr_model,
+                        min_quality_threshold=self.mqt)
+                collect_device = shadow_sched._dispatch_indexed()
+                collect_device()
+                state["t"] = time.perf_counter() - t0
+            except Exception:
+                state["err"] = True
+        t = threading.Thread(target=device_leg, name="engine-probe",
+                             daemon=True)
+        t.start()
+        t.join(deadline)
+        t_device = state.get("t", float("inf"))
+        device_ok = "t" in state
         choice = "native" if t_native <= t_device else "device"
         PairHMMScheduler._auto_probe = choice
         rlog.logger.info(
-            "auto-engine probe: native %.2fs vs device %.2fs -> %s",
-            t_native, t_device, choice)
-        if device_ok:
-            return lambda: None
-        # device leg failed: use the native results
+            "auto-engine probe: native %.2fs vs device %s -> %s",
+            t_native,
+            f"{t_device:.2f}s" if device_ok
+            else f">deadline {deadline:.0f}s", choice)
 
         def collect():
             for job, b, raw in zip(jobs, dense, raws):
