@@ -111,6 +111,9 @@ class PairHMMScheduler:
             from ..native import pairhmm_native
             if pairhmm_native.available():
                 choice = PairHMMScheduler._auto_probe
+                if choice is None:
+                    choice = self._load_probe_cache()
+                    PairHMMScheduler._auto_probe = choice
                 if choice is None and self.jobs:
                     self._collect_fn = self._probe_engines()
                     return
@@ -142,6 +145,42 @@ class PairHMMScheduler:
             else:
                 self._collect_fn = self._dispatch_single(
                     force_cpu=backend_name() == "tpu")
+
+    @staticmethod
+    def _probe_cache_path():
+        import os
+        d = os.environ.get("ROVACA_JAX_CACHE",
+                           os.path.expanduser("~/.cache/rovaca_jax"))
+        return os.path.join(d, "engine_probe.json")
+
+    @classmethod
+    def _load_probe_cache(cls):
+        """Probe verdicts persist per machine (the link quality that
+        decides them is a property of the attachment, not the corpus);
+        ROVACA_REPROBE=1 forces a fresh measurement."""
+        import json
+        import os
+        if os.environ.get("ROVACA_REPROBE"):
+            return None
+        try:
+            with open(cls._probe_cache_path()) as f:
+                return json.load(f).get("choice")
+        except (OSError, ValueError):
+            return None
+
+    @classmethod
+    def _store_probe_cache(cls, choice, t_native, t_device):
+        import json
+        import os
+        try:
+            path = cls._probe_cache_path()
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as f:
+                json.dump({"choice": choice, "t_native": t_native,
+                           "t_device": (None if t_device == float("inf")
+                                        else t_device)}, f)
+        except OSError:
+            pass
 
     def _probe_engines(self):
         """Score the current flush group on BOTH the native host engine
@@ -207,6 +246,7 @@ class PairHMMScheduler:
         device_ok = "t" in state
         choice = "native" if t_native <= t_device else "device"
         PairHMMScheduler._auto_probe = choice
+        self._store_probe_cache(choice, t_native, t_device)
         rlog.logger.info(
             "auto-engine probe: native %.2fs vs device %s -> %s",
             t_native,

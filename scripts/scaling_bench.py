@@ -31,6 +31,7 @@ def main():
     n_reads = sum(1 for _ in BamReader(bam))
 
     env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # CPU ranks stay jax-free
     env["JAX_PLATFORMS"] = "cpu"
     env["ROVACA_NATIVE_THREADS"] = "1"
     env["ROVACA_PIN_SHARDS"] = "1"
