@@ -112,6 +112,7 @@ int main(int argc, char *argv[])
             std::getline(cases, line);
             region_reads.push_back(parse_sam(line.c_str()));
         }
+        std::getline(cases, line);  // per-case padded ref-window line
 
         auto *buffer = new uint8_t[s_buffer_size]{};
         auto *target_mem = new std::pmr::monotonic_buffer_resource(

@@ -150,16 +150,9 @@ def finalize_region_reads(reads, span_start, span_end):
 
 def _has_well_defined_fragment(read):
     """hc_apply_utils_has_well_defined_fragment_size (GATK
-    hasWellDefinedFragmentSize)."""
-    if read.tlen == 0 or not read.is_paired:
-        return False
-    if read.is_unmapped or (read.flag & 0x8):
-        return False
-    if read.is_reverse == bool(read.flag & 0x20):
-        return False
-    if read.is_reverse:
-        return read.end > read.mate_pos
-    return read.pos <= read.mate_pos + read.tlen
+    hasWellDefinedFragmentSize) — apply-side +1 convention, see
+    clipping.has_well_defined_fragment."""
+    return clipping.has_well_defined_fragment(read)
 
 
 def adjust_overlapping_pair_quals(reads):

@@ -301,38 +301,35 @@ void hard_clip_to_region(FRead& r, int64_t region_start,
     rebuild(r, refs, scs, keep);
 }
 
-// activity.py adaptor_boundary; returns INT64_MIN for "none"
-int64_t adaptor_boundary(const FRead& r) {
-    if (r.tlen == 0 || !r.is_paired() || r.mate_unmapped() ||
-        r.is_unmapped() || r.is_reverse() == r.mate_reverse())
-        return INT64_MIN;
-    if (r.is_reverse()) {
-        if (r.end() <= r.mate_pos) return INT64_MIN;
-        return r.mate_pos;
-    }
-    if (r.pos > r.mate_pos + r.tlen) return INT64_MIN;
-    int64_t t = r.tlen;
-    return r.pos + 1 + (t < 0 ? -t : t);
-}
-
-void hard_clip_adaptor_sequence(FRead& r) {
-    int64_t bound = adaptor_boundary(r);
-    if (bound == INT64_MIN) return;
-    if (r.is_reverse()) {
-        if (bound < r.pos) return;
-        hard_clip_to_region(r, bound, int64_t(1) << 60);
-    } else {
-        if (bound > r.end()) return;
-        hard_clip_to_region(r, -(int64_t(1) << 60), bound - 2);
-    }
-}
-
+// hc_apply_utils_has_well_defined_fragment_size (hc_assemble_utils.c:67-87):
+// the apply side compares against MPOS = mpos + 1 (1-based mate start), so
+// both strand branches carry a +1 vs the activity-profile variant.
 bool has_well_defined_fragment(const FRead& r) {
     if (r.tlen == 0 || !r.is_paired()) return false;
     if (r.is_unmapped() || r.mate_unmapped()) return false;
     if (r.is_reverse() == r.mate_reverse()) return false;
-    if (r.is_reverse()) return r.end() > r.mate_pos;
-    return r.pos <= r.mate_pos + r.tlen;
+    if (r.is_reverse()) return r.end() > r.mate_pos + 1;  // bam_endpos > MPOS
+    return r.pos <= r.mate_pos + r.tlen + 1;              // pos <= MPOS+isize
+}
+
+// hc_apply_utils_hard_clip_adaptor_sequence (hc_assemble_utils.c:93-107).
+// The reference computes boundary + in-span gate in its 1-based pos_start
+// space (verified against a per-read finalize trace of the binary); in
+// 0-based terms: reverse boundary = mate start, gated to (pos, end]; clip
+// keeps ref >= mate start.  Forward boundary = pos + |isize|, gated to
+// boundary < end; clip keeps ref <= boundary - 1.
+void hard_clip_adaptor_sequence(FRead& r) {
+    if (!has_well_defined_fragment(r)) return;
+    if (r.is_reverse()) {
+        int64_t bound = r.mate_pos;
+        if (bound <= r.pos || bound > r.end()) return;
+        hard_clip_to_region(r, bound, int64_t(1) << 60);
+    } else {
+        int64_t t = r.tlen;
+        int64_t bound = r.pos + (t < 0 ? -t : t);
+        if (bound >= r.end()) return;
+        hard_clip_to_region(r, -(int64_t(1) << 60), bound - 1);
+    }
 }
 
 // (read_index, op) covering ref_coord; -1 when not covered

@@ -250,20 +250,41 @@ def hard_clip_to_region(read, region_start, region_end):
     return _rebuild(read, events, keep)
 
 
+def has_well_defined_fragment(read):
+    """hc_apply_utils_has_well_defined_fragment_size
+    (hc_assemble_utils.c:67-87).  The apply-side reference compares against
+    MPOS = mpos + 1 (the 1-based mate start), so both strand branches carry
+    a +1 relative to the naive 0-based forms — and differ by that +1 from
+    the activity-profile variant (HcActiveBase.cpp:48-68).  read.end here
+    is 0-based exclusive, numerically equal to bam_endpos."""
+    if read.tlen == 0 or not read.is_paired:
+        return False
+    if read.is_unmapped or (read.flag & 0x8):
+        return False
+    if read.is_reverse == bool(read.flag & 0x20):
+        return False
+    if read.is_reverse:
+        return read.end > read.mate_pos + 1       # bam_endpos > MPOS
+    return read.pos <= read.mate_pos + read.tlen + 1  # pos <= MPOS + isize
+
+
 def hard_clip_adaptor_sequence(read):
     """Clip bases beyond the mate-adaptor boundary
-    (hc_apply_utils_hard_clip_adaptor_sequence; GATK hardClipAdaptorSequence).
-    """
-    from ..pipeline.activity import adaptor_boundary
-    bound = adaptor_boundary(read)
-    if bound is None:
+    (hc_apply_utils_hard_clip_adaptor_sequence, hc_assemble_utils.c:93-107).
+    The reference computes the boundary and the in-span gate in its 1-based
+    pos_start space (verified against a per-read finalize trace of the
+    binary); translated to 0-based:  reverse boundary = mate start, gated
+    to (pos, end]; clip keeps ref >= mate start.  Forward boundary =
+    pos + |isize|, gated to |isize| < ref-consumed length; clip keeps
+    ref <= pos + |isize| - 1."""
+    if not has_well_defined_fragment(read):
         return read
     if read.is_reverse:
-        if bound < read.pos:
+        bound = read.mate_pos
+        if not (read.pos < bound <= read.end):
             return read
-        # 1-based positions <= bound are inside; keep 0-based pos >= bound
         return hard_clip_to_region(read, bound, 1 << 60)
-    else:
-        if bound > read.end:
-            return read
-        return hard_clip_to_region(read, -(1 << 60), bound - 2)
+    bound = read.pos + abs(read.tlen)
+    if bound >= read.end:
+        return read
+    return hard_clip_to_region(read, -(1 << 60), bound - 1)

@@ -39,5 +39,6 @@ def test_two_shard_divergence_confined(tmp_path):
              "-o", f"{d}/{name}.vcf", "--pairhmm-engine", "auto"] + extra,
             env=env, capture_output=True, text=True)
         assert cp.returncode == 0, cp.stderr[-800:]
-    ok, detail = race.depth_masked_diff(f"{d}/plain.vcf", f"{d}/shard.vcf")
+    ok, detail = race.depth_masked_diff(f"{d}/plain.vcf", f"{d}/shard.vcf",
+                                        bam_path=f"{d}/sample.bam")
     assert ok, detail
