@@ -78,3 +78,61 @@ def pairhmm_dense(trans, rbase, rlen, hbase, hlen):
         hlen2.ctypes.data_as(i32p), GR, Lr, GH, Lh,
         np.float32(C.INITIAL_CONSTANT_F32), out.ctypes.data_as(f32p))
     return out
+
+
+# ---------------------------------------------------------------------------
+# double rescue (pairhmm_f64.cpp)
+# ---------------------------------------------------------------------------
+
+_f64_lib = None
+_f64_tried = False
+
+
+def _load_f64():
+    global _f64_lib, _f64_tried
+    if _f64_tried:
+        return _f64_lib
+    _f64_tried = True
+    # -ffp-contract=off: the rescue contract is bit-equality with the numpy
+    # golden oracle, whose elementwise ops never fuse mul+add
+    path = build.shared_lib("pairhmm_f64", extra_flags=("-ffp-contract=off",))
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.rovaca_pairhmm_f64_rows.restype = None
+    lib.rovaca_pairhmm_f64_rows.argtypes = [
+        f64p, i32p, ctypes.c_int32, i32p, ctypes.c_int32,
+        ctypes.c_double, f64p, f64p]
+    _f64_lib = lib
+    return lib
+
+
+def rescue_available():
+    return _load_f64() is not None
+
+
+def forward_f64(channels, codes, hap_codes):
+    """Raw double forward for one (read, hap) pair, bit-identical to
+    golden.forward_from_channels(dtype=np.float64): the C side runs the
+    recurrence without FMA, the final column sums stay in numpy (np.sum's
+    pairwise summation is part of the oracle's rounding)."""
+    lib = _load_f64()
+    from .. import constants as C
+
+    ch = np.ascontiguousarray(channels, dtype=np.float64)
+    codes = np.ascontiguousarray(codes, dtype=np.int32)
+    hap = np.ascontiguousarray(hap_codes, dtype=np.int32)
+    Lr, Lh = codes.shape[0], hap.shape[0]
+    m = np.empty(Lh, dtype=np.float64)
+    i = np.empty(Lh, dtype=np.float64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.rovaca_pairhmm_f64_rows(
+        ch.ctypes.data_as(f64p), codes.ctypes.data_as(i32p), Lr,
+        hap.ctypes.data_as(i32p), Lh,
+        np.float64(C.INITIAL_CONSTANT_F64),
+        m.ctypes.data_as(f64p), i.ctypes.data_as(f64p))
+    return np.float64(np.sum(m, dtype=np.float64)
+                      + np.sum(i, dtype=np.float64))

@@ -58,6 +58,28 @@ def log10_with_rescue(raw_matrix, reads, haps, pcr_model="CONSERVATIVE",
 
     hap_bytes = [h.encode() if isinstance(h, str) else bytes(h) for h in haps]
     rescued = list(zip(*np.nonzero(~ok)))
+    if rescued:
+        from ...native import pairhmm_native
+        if pairhmm_native.rescue_available():
+            ch_cache, hap_cache = {}, {}
+            for h_idx, r_idx in rescued:
+                if r_idx not in ch_cache:
+                    read = reads[r_idx]
+                    ch_cache[r_idx] = prep.prepare_read_channels(
+                        read.bases, read.quals, read.mapping_quality,
+                        ins_gops=getattr(read, "ins_quals", None),
+                        gcp=getattr(read, "gcp", None),
+                        pcr_model=pcr_model,
+                        min_quality_threshold=min_quality_threshold,
+                        dtype=np.float64)
+                if h_idx not in hap_cache:
+                    hap_cache[h_idx] = prep.BASE_CODE[
+                        np.frombuffer(hap_bytes[h_idx], dtype=np.uint8)]
+                codes, ch = ch_cache[r_idx]
+                rd = pairhmm_native.forward_f64(ch, codes, hap_cache[h_idx])
+                out[h_idx, r_idx] = (np.log10(rd)
+                                     - C.LOG10_INITIAL_CONSTANT_F64)
+            return out
     if len(rescued) >= 8:
         try:
             raws = _rescue_batch_f64(rescued, reads, hap_bytes, pcr_model,
