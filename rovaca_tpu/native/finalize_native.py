@@ -55,9 +55,8 @@ def pack_reads(reads):
     for i, r in enumerate(reads):
         el = r.cigar.elements
         cig_n[i] = len(el)
-        for op, ln in el:
-            ops_l.append(int(op))
-            lens_l.append(ln)
+        ops_l += [e[0] for e in el]     # IntEnum -> int handled by np.array
+        lens_l += [e[1] for e in el]
     cig_off = np.zeros(n, dtype=np.int64)
     np.cumsum(cig_n[:-1], out=cig_off[1:])
     cig_ops = np.array(ops_l, dtype=np.uint8)
@@ -99,19 +98,20 @@ def build_records(reads, n_out, o):
     """ReadRecords from the native finalized-read output arrays."""
     from ..reads.cigar import Cigar, CigarOp
     from ..reads.record import ReadRecord
+    ops_tab = tuple(CigarOp)           # index lookup beats EnumMeta.__call__
     base_buf = o["o_bases"].tobytes()
-    o_idx, o_pos = o["o_idx"], o["o_pos"]
-    o_coff, o_cn = o["o_coff"], o["o_cn"]
-    o_cops, o_clens = o["o_cops"], o["o_clens"]
-    o_soff, o_slen = o["o_soff"], o["o_slen"]
-    o_hl, o_hr, o_quals = o["o_hl"], o["o_hr"], o["o_quals"]
+    o_idx, o_pos = o["o_idx"].tolist(), o["o_pos"].tolist()
+    o_coff, o_cn = o["o_coff"].tolist(), o["o_cn"].tolist()
+    o_cops, o_clens = o["o_cops"].tolist(), o["o_clens"].tolist()
+    o_soff, o_slen = o["o_soff"].tolist(), o["o_slen"].tolist()
+    o_hl, o_hr, o_quals = o["o_hl"].tolist(), o["o_hr"].tolist(), o["o_quals"]
     out = []
     for i in range(n_out):
         src = reads[o_idx[i]]
-        co, cn = int(o_coff[i]), int(o_cn[i])
-        cigar = Cigar.from_raw([(CigarOp(int(o_cops[co + j])),
-                                 int(o_clens[co + j])) for j in range(cn)])
-        so, sl = int(o_soff[i]), int(o_slen[i])
+        co, cn = o_coff[i], o_cn[i]
+        cigar = Cigar.from_raw([(ops_tab[o_cops[co + j]], o_clens[co + j])
+                                for j in range(cn)])
+        so, sl = o_soff[i], o_slen[i]
         rec = ReadRecord(
             name=src.name, flag=src.flag, ref_id=src.ref_id,
             pos=int(o_pos[i]), mapping_quality=src.mapping_quality,

@@ -92,7 +92,8 @@ def prepare_region(reads, span_start, span_end, ref_window, kmer_sizes,
         return None
     fin = finalize_native.build_records(reads, int(n_reads_out[0]), o)
     results = {}
-    buf = hap_buf.tobytes()
+    # copy only the filled prefix (hap_cap is >=1MB; n_haps is ~dozens)
+    buf = hap_buf[:int(hap_off[n_haps]) if n_haps else 0].tobytes()
     for i in range(n_haps):
         seq = buf[hap_off[i]:hap_off[i + 1]]
         results[seq] = (float(hap_scores[i]), int(hap_kmers[i]))
