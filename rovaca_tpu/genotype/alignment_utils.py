@@ -17,20 +17,23 @@ from ..reads.cigar import Cigar, CigarOp, CONSUMES_QUERY, CONSUMES_REF
 
 
 def hap_to_ref_map(hap):
-    """hap base index -> ref genome pos (None for inserted bases)."""
-    out = []
+    """hap base index -> ref genome pos (int64 array; -1 for inserted
+    bases, the realign composer's "no reference position" sentinel)."""
+    parts = []
     ref_pos = hap.window_start
     for op, length in hap.cigar:
         in_q = op in CONSUMES_QUERY
         in_r = op in CONSUMES_REF
         if in_q and in_r:
-            out.extend(ref_pos + k for k in range(length))
+            parts.append(np.arange(ref_pos, ref_pos + length,
+                                   dtype=np.int64))
             ref_pos += length
         elif in_q:
-            out.extend([None] * length)
+            parts.append(np.full(length, -1, dtype=np.int64))
         elif in_r:
             ref_pos += length
-    return out
+    return (np.concatenate(parts) if parts
+            else np.empty(0, dtype=np.int64))
 
 
 def _normalize_alleles(seqs, bounds, max_shift, trim):
@@ -176,42 +179,64 @@ def realign_read_to_haplotype(read, hap, h2r=None, sw_result=None,
         return read
 
     # read base -> hap base index; SW soft clips (read overhangs the hap)
-    # stay soft clips, hap-inserted bases become insertions
-    hap_idx = []
-    sw_clip = []
+    # stay soft clips, hap-inserted bases become insertions.  Built as
+    # per-base arrays (hap index, or -1 with a clip flag), then composed
+    # through h2r run-wise — same elements the per-base loop produced,
+    # one list entry per run instead of per base.
+    n_read = len(read.bases)
+    hap_idx = np.empty(n_read, dtype=np.int64)
+    sw_clip = np.zeros(n_read, dtype=bool)
+    q = 0
     h = res.alignment_offset
     for op, length in res.cigar:
         if op in (CigarOp.M, CigarOp.EQ, CigarOp.X):
-            hap_idx.extend(h + k for k in range(length))
-            sw_clip.extend([False] * length)
+            if q + length > n_read:
+                return read
+            hap_idx[q:q + length] = np.arange(h, h + length)
+            q += length
             h += length
         elif op in (CigarOp.I, CigarOp.S):
-            hap_idx.extend([None] * length)
-            sw_clip.extend([op == CigarOp.S] * length)
+            if q + length > n_read:
+                return read
+            hap_idx[q:q + length] = -1
+            sw_clip[q:q + length] = (op == CigarOp.S)
+            q += length
         elif op in (CigarOp.D, CigarOp.N):
             h += length
-
-    if len(hap_idx) != len(read.bases):
+    if q != n_read:
         return read
 
-    # compose: read base -> ref pos
-    elems = []
-    new_pos = None
-    prev_ref = None
+    # compose: read base -> ref pos (h2r maps hap base -> ref pos or None)
     n_hap = len(h2r)
-    for q, hi in enumerate(hap_idx):
-        ref_pos = (h2r[hi] if hi is not None and hi < n_hap else None)
-        if ref_pos is None:
-            elems.append((CigarOp.S if sw_clip[q] else CigarOp.I, 1))
-            continue
-        if new_pos is None:
-            new_pos = ref_pos
-        elif prev_ref is not None and ref_pos > prev_ref + 1:
-            elems.append((CigarOp.D, ref_pos - prev_ref - 1))
-        prev_ref = ref_pos
-        elems.append((CigarOp.M, 1))
-    if new_pos is None:
+    h2r_arr = np.asarray(h2r, dtype=np.int64)
+    ref_pos = np.full(n_read, -1, dtype=np.int64)
+    inhap = (hap_idx >= 0) & (hap_idx < n_hap)
+    ref_pos[inhap] = h2r_arr[hap_idx[inhap]]
+    valid = ref_pos >= 0
+    vq = np.nonzero(valid)[0]
+    if vq.size == 0:
         return read
+    new_pos = int(ref_pos[vq[0]])
+
+    # element runs: split wherever the per-base op changes or a deletion
+    # must be injected before a valid base (ref gap vs the previous one)
+    opc = np.where(valid, 0, np.where(sw_clip, 2, 1))   # 0=M 1=I 2=S
+    vrefs = ref_pos[vq]
+    gap_before = np.zeros(n_read, dtype=np.int64)
+    if vq.size > 1:
+        gaps = vrefs[1:] - vrefs[:-1] - 1
+        gap_before[vq[1:][gaps > 0]] = gaps[gaps > 0]
+    change = np.nonzero((opc[1:] != opc[:-1])
+                        | (gap_before[1:] > 0))[0] + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n_read]))
+    _OPS_MAP = (CigarOp.M, CigarOp.I, CigarOp.S)
+    elems = []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        g = gap_before[s]
+        if g > 0:
+            elems.append([CigarOp.D, int(g)])
+        elems.append([_OPS_MAP[opc[s]], int(e - s)])
     elems = [[op, length] for op, length in Cigar(elems).normalized()]
 
     # split off soft clips; left-align the clip-free core against the

@@ -41,7 +41,7 @@ class TestHapToRefMap:
         h = hap(REF[:10] + b"TTT" + REF[10:], "10M3I30M")
         m = au.hap_to_ref_map(h)
         assert m[9] == 109
-        assert m[10] is None and m[12] is None
+        assert m[10] == -1 and m[12] == -1   # inserted-base sentinel
         assert m[13] == 110
 
 
