@@ -199,6 +199,18 @@ class VcfWriter:
         self._fh.write("\t".join(row) + "\n")
         self.records_written += 1
 
+    def write_hom_ref_block(self, contig, start, stop, ref_base, dp, gq,
+                            min_dp, pls):
+        """Fast path for GVCF hom-ref band rows (the vast majority of
+        GVCF output): formats the fixed GT:DP:GQ:MIN_DP:PL shape directly,
+        byte-identical to write() on the equivalent Variant."""
+        pl = ",".join(str(int(x)) for x in pls)
+        self._fh.write(
+            f"{contig}\t{start + 1}\t.\t{ref_base}\t<NON_REF>\t.\t.\t"
+            f"END={stop + 1}\tGT:DP:GQ:MIN_DP:PL\t"
+            f"0/0:{dp}:{gq}:{min_dp}:{pl}\n")
+        self.records_written += 1
+
     def close(self):
         self._fh.close()
         # gz outputs get a .tbi alongside, like the reference

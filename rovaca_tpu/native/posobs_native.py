@@ -50,9 +50,8 @@ def build_position_obs(obs, reads, padded_ref, padded_start, start, end):
     for i, r in enumerate(reads):
         el = r.cigar.elements
         cig_n[i] = len(el)
-        for op, ln in el:
-            ops_l.append(int(op))
-            lens_l.append(ln)
+        ops_l += [e[0] for e in el]     # IntEnum -> int handled by np.array
+        lens_l += [e[1] for e in el]
     cig_off = np.zeros(n, dtype=np.int64)
     np.cumsum(cig_n[:-1], out=cig_off[1:])
     cig_ops = np.array(ops_l, dtype=np.uint8)

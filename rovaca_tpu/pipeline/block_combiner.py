@@ -181,9 +181,19 @@ class BlockCombiner:
                     gq=int(span.gq[s]))
 
     def _flush_block(self):
-        if self.block is not None:
-            self.writer.write(self.block.to_variant())
-            self.block = None
+        if self.block is None:
+            return
+        b = self.block
+        self.block = None
+        fast = getattr(self.writer, "write_hom_ref_block", None)
+        if fast is not None and b.min_pls is not None:
+            s = sorted(b.dps)
+            n = len(s)
+            dp = s[n // 2] if n & 1 else (s[n // 2] + s[n // 2 - 1] + 1) // 2
+            fast(b.contig, b.start, b.stop, b.ref.bases.decode(), dp,
+                 _gq(b.min_pls), int(min(b.dps)), b.min_pls)
+        else:
+            self.writer.write(b.to_variant())
 
     def flush_batch(self):
         """RegionSource batch boundary: the reference calls force_output

@@ -29,6 +29,17 @@ from ..reads.cigar import CigarOp, CONSUMES_QUERY, CONSUMES_REF
 from .activity import genotype_cache
 
 BASE_QUAL_THRESHOLD = 6          # assembly_based_caller_utils.h:20
+
+_MASKED_CACHE = {}
+
+
+def _masked_genotype_cache(ploidy):
+    """genotype_cache with quals <= BASE_QUAL_THRESHOLD rows zeroed."""
+    if ploidy not in _MASKED_CACHE:
+        c = genotype_cache(ploidy).copy()
+        c[:, : BASE_QUAL_THRESHOLD + 1, :] = 0.0
+        _MASKED_CACHE[ploidy] = c
+    return _MASKED_CACHE[ploidy]
 INDEL_QUAL = 45                  # genotype_likelihoods_cache.cpp:34-35
 REF_MODEL_DELETION_QUAL = C.REF_MODEL_DELETION_QUAL
 MAX_INDEL_SIZE = C.MAX_INDEL_SIZE
@@ -425,14 +436,18 @@ def reference_confidence_records(obs, ref, contig, start, calls_by_pos,
     """Per-position hom-ref VCs (or the overlapping real call)
     (calculate_ref_confidence). The GL math is batched over all positions;
     the loop only builds output objects."""
-    cache = genotype_cache(ploidy)
+    cache = _masked_genotype_cache(ploidy)
     L = obs.hist.shape[1]
 
-    hist_all = obs.hist.astype(np.float64)          # (2, L, 64)
-    hist_all[:, :, : BASE_QUAL_THRESHOLD + 1] = 0.0
-    counts = hist_all.sum(axis=(0, 2))              # (L,)
+    # quals <= BASE_QUAL_THRESHOLD excluded by zeroing the CACHE rows
+    # instead of a float64 histogram copy — bit-identical (0-valued
+    # partial products in the same positions) and avoids materializing
+    # the (2, L, 64) float array per region (same trick as
+    # activity._masked_genotype_cache)
+    counts = obs.hist[:, :, BASE_QUAL_THRESHOLD + 1:].sum(
+        axis=(0, 2), dtype=np.int64).astype(np.float64)   # (L,)
     # note cache status 0 = variant evidence == our hist status 0 ✓
-    gl = np.einsum("spq,sqg->pg", hist_all, cache)  # (L, G)
+    gl = np.einsum("spq,sqg->pg", obs.hist, cache)  # (L, G)
     gl -= counts[:, None] * math.log10(ploidy)
     # cap alt GLs by hom-ref GL (get_genotype_likelihoods_capped_...)
     snp_gls = np.minimum(gl, gl[:, 0:1])
