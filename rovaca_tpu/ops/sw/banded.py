@@ -85,18 +85,25 @@ def _excl_cummax_arg(vals):
     return v, idx
 
 
-def _banded_kernel(ref_ref, alt_ref, nm_ref, off_ref, bt_ref, colm_ref,
+S = 8                   # alignments per sublane group: one per sublane row
+
+
+def _banded_kernel(ref_ref, alt_ref, meta_ref, bt_ref, colm_ref,
                    lastrow_ref, edge_ref, h_s, v_s, ks_s, last_s, edge_s, *,
-                   Ln, Lpad, wm, wmm, wo, we, indel_init, rows_per_block):
-    """Grid = (alignment, row-block). DP state for the 128-lane band lives
+                   Ln, C, wm, wmm, wo, we, indel_init, rows_per_block):
+    """Grid = (alignment group, row-block). Eight alignments ride the
+    (8, 128) VPU tile together — one per sublane row, the band along
+    lanes. Per-alignment diagonal offsets are folded into each alt's
+    left padding on the host (alt k stored at C + off_k), so every
+    sublane shares one lane-aligned chunk load per row. DP state lives
     in VMEM scratch across row-blocks (TPU grid steps run sequentially);
-    each step computes `rows_per_block` rows unrolled and stores the
-    backtrack/col-m blocks tile-aligned."""
+    each step computes `rows_per_block` rows unrolled."""
     rb = pl.program_id(1)
-    n = nm_ref[0, 0, 0]
-    m = nm_ref[0, 0, 1]
-    offset = off_ref[0, 0, 0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    meta = meta_ref[0]                       # (S, 128) int32
+    n = meta[:, 0:1]                         # (S, 1)
+    m = meta[:, 1:2]
+    offset = meta[:, 2:3]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, W), 1)
 
     def row0_val(j):
         # sw[0][j]: 0 at j==0; overhang-dependent for 1<=j<=m; NEG outside
@@ -115,23 +122,23 @@ def _banded_kernel(ref_ref, alt_ref, nm_ref, off_ref, bt_ref, colm_ref,
     def _init():
         # row 0 band: c0(0) = -offset - W//2
         h_s[...] = row0_val(-offset - W // 2 + lane)
-        v_s[...] = jnp.full((1, W), NEG, jnp.int32)
-        ks_s[...] = jnp.zeros((1, W), jnp.int32)
-        last_s[...] = jnp.full((1, W), NEG, jnp.int32)
-        edge_s[0, 0] = NEG
+        v_s[...] = jnp.full((S, W), NEG, jnp.int32)
+        ks_s[...] = jnp.zeros((S, W), jnp.int32)
+        last_s[...] = jnp.full((S, W), NEG, jnp.int32)
+        edge_s[...] = jnp.full((S, 1), NEG, jnp.int32)
 
     H_prev = h_s[...]
     v_prev = v_s[...]
     ks_prev = ks_s[...]
     lastrow = last_s[...]
-    edge_max = edge_s[0, 0]
+    edge_max = edge_s[...]
 
     bt_rows = []
     colm_rows = []
     for ri in range(rows_per_block):
         i = rb * rows_per_block + ri + 1
-        cs = i - offset - W // 2          # column at lane 0, this row
-        j_lane = cs + lane
+        cs = i - offset - W // 2          # (S, 1) column at lane 0
+        j_lane = cs + lane                # (S, W)
         valid = (j_lane >= 1) & (j_lane <= m)
 
         # vertical gap state (GATK best_gap_v / gap_size_v), band-shifted
@@ -143,17 +150,22 @@ def _banded_kernel(ref_ref, alt_ref, nm_ref, off_ref, bt_ref, colm_ref,
         v_new = jnp.maximum(open_v, ext_v)
         ks_new = jnp.where(open_v > ext_v, 1, ks_sh + 1)
 
-        # diagonal: ref[i-1] vs alt[j-1]; alt pre-padded by Lpad on the
-        # left, so alt index = (j-1) + Lpad. Mosaic needs lane-aligned
-        # slice starts: load the two aligned chunks covering
-        # [start, start+W) and stitch with a dynamic circular roll
-        # (element w of roll(c, W - r) is c[(w + r) % W]).
-        rchar = ref_ref[0, 0, i - 1]       # SMEM scalar load
-        start = jnp.clip(cs - 1 + Lpad, 0, alt_ref.shape[2] - 2 * W)
+        # diagonal: ref[i-1] vs alt[j-1]. alt k is stored with left pad
+        # C + off_k, so storage index (j-1) + C + off_k = i - W//2 - 1 + C
+        # + lane — the same for every sublane. Mosaic needs lane-aligned
+        # slice starts: load the two aligned (S, W) chunks covering
+        # [start, start+W) and stitch with a circular roll.
+        # per-sublane ref char at row i: aligned (S, W) chunk load, roll
+        # the target lane to lane 0, take the static size-1 slice
+        ib = ((i - 1) // W) * W
+        rchunk = ref_ref[0, :, pl.ds(ib, W)]
+        rchar = pltpu.roll(rchunk, shift=(W - ((i - 1) - ib)) % W,
+                           axis=1)[:, :1]               # (S, 1)
+        start = i - W // 2 - 1 + C
         a0 = (start // W) * W
         r = start - a0
-        chunk0 = alt_ref[0, 0, pl.ds(a0, W)].reshape(1, W)
-        chunk1 = alt_ref[0, 0, pl.ds(a0 + W, W)].reshape(1, W)
+        chunk0 = alt_ref[0, :, pl.ds(a0, W)]
+        chunk1 = alt_ref[0, :, pl.ds(a0 + W, W)]
         rot = (W - r) % W
         r0 = pltpu.roll(chunk0, shift=rot, axis=1)
         r1 = pltpu.roll(chunk1, shift=rot, axis=1)
@@ -181,86 +193,86 @@ def _banded_kernel(ref_ref, alt_ref, nm_ref, off_ref, bt_ref, colm_ref,
         bt = jnp.where(valid, bt, 0)
 
         # rows past the alignment end freeze every carry
-        live = i <= n
+        live = i <= n                      # (S, 1)
         Hcur = jnp.where(live, Hcur, H_prev)
         v_new = jnp.where(live, v_new, v_prev)
         ks_new = jnp.where(live, ks_new, ks_prev)
         bt = jnp.where(live, bt, 0)
 
-        bt_rows.append(bt.astype(jnp.int16))
+        bt_rows.append(bt)
         colm_rows.append(jnp.max(jnp.where(live & (j_lane == m), Hcur, NEG),
                                  axis=1, keepdims=True))
         lastrow = jnp.where(i == n, Hcur, lastrow)
         # band-edge guard: any competitive score on the outermost lanes
         # means the optimum may live outside the band -> host fallback
         edge_here = jnp.max(jnp.where(
-            live & valid & ((lane == 0) | (lane == W - 1)), Hcur, NEG))
+            live & valid & ((lane == 0) | (lane == W - 1)), Hcur, NEG),
+            axis=1, keepdims=True)
         edge_max = jnp.maximum(edge_max, edge_here)
         H_prev, v_prev, ks_prev = Hcur, v_new, ks_new
 
-    bt_ref[0] = jnp.concatenate(bt_rows, axis=0)
-    colm_ref[0] = jnp.concatenate(colm_rows, axis=0)
+    bt_ref[0] = jnp.stack(bt_rows, axis=0)             # (RPB, S, W)
+    colm_ref[0] = jnp.stack(colm_rows, axis=0)[:, :, 0]  # (RPB, S)
     h_s[...] = H_prev
     v_s[...] = v_prev
     ks_s[...] = ks_prev
     last_s[...] = lastrow
-    edge_s[0, 0] = edge_max
+    edge_s[...] = edge_max
 
     @pl.when(rb == pl.num_programs(1) - 1)
     def _finish():
-        lastrow_ref[0, 0, :] = last_s[0]
-        edge_ref[0, 0, 0] = edge_s[0, 0]
+        lastrow_ref[0] = last_s[...]
+        edge_ref[0] = edge_s[...]
 
 
-@functools.partial(jax.jit, static_argnames=("Ln", "Lpad", "params",
+@functools.partial(jax.jit, static_argnames=("Ln", "C", "params",
                                              "indel_init", "interpret"))
-def _banded_call(refs, alts, nm, offs, *, Ln, Lpad, params, indel_init,
+def _banded_call(refs, alts, meta, *, Ln, C, params, indel_init,
                  interpret=False):
-    B = refs.shape[0]
+    """refs (G, S, Ln) i32; alts (G, S, A) i32 with alt k left-padded by
+    C + off_k; meta (G, S, 128) i32 with [:, :, 0]=n, 1=m, 2=off."""
+    G = refs.shape[0]
+    A = alts.shape[2]
     wm, wmm, wo, we = params
-    RPB = 16                      # rows per grid step (int16 tile height)
-    kern = functools.partial(_banded_kernel, Ln=Ln, Lpad=Lpad, wm=wm,
+    RPB = 16                      # rows per grid step
+    kern = functools.partial(_banded_kernel, Ln=Ln, C=C, wm=wm,
                              wmm=wmm, wo=wo, we=we, indel_init=indel_init,
                              rows_per_block=RPB)
-    grid = (B, Ln // RPB)
-    return pl.pallas_call(
+    grid = (G, Ln // RPB)
+    bt, colm, lastrow, edge = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            # 3D blocks whose trailing dims equal the array's: the TPU
-            # lowering requires block tails divisible by (8, 128) or equal
-            pl.BlockSpec((1, 1, Ln), lambda b, rb: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, Lpad + Lpad), lambda b, rb: (b, 0, 0)),
-            pl.BlockSpec((1, 1, 2), lambda b, rb: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda b, rb: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S, Ln), lambda b, rb: (b, 0, 0)),
+            pl.BlockSpec((1, S, A), lambda b, rb: (b, 0, 0)),
+            pl.BlockSpec((1, S, 128), lambda b, rb: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, RPB, W), lambda b, rb: (b, rb, 0)),
-            pl.BlockSpec((1, RPB, 1), lambda b, rb: (b, rb, 0)),
-            pl.BlockSpec((1, 1, W), lambda b, rb: (b, 0, 0)),
-            pl.BlockSpec((1, 1, 1), lambda b, rb: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, RPB, S, W), lambda b, rb: (b, rb, 0, 0)),
+            pl.BlockSpec((1, RPB, S), lambda b, rb: (b, rb, 0)),
+            pl.BlockSpec((1, S, W), lambda b, rb: (b, 0, 0)),
+            pl.BlockSpec((1, S, 1), lambda b, rb: (b, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Ln, W), jnp.int16),
-            jax.ShapeDtypeStruct((B, Ln, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, W), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((G, Ln, S, W), jnp.int32),
+            jax.ShapeDtypeStruct((G, Ln, S), jnp.int32),
+            jax.ShapeDtypeStruct((G, S, W), jnp.int32),
+            jax.ShapeDtypeStruct((G, S, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, W), jnp.int32),    # H band
-            pltpu.VMEM((1, W), jnp.int32),    # best_gap_v
-            pltpu.VMEM((1, W), jnp.int32),    # gap_size_v
-            pltpu.VMEM((1, W), jnp.int32),    # row-n band
-            pltpu.SMEM((1, 1), jnp.int32),    # edge max
+            pltpu.VMEM((S, W), jnp.int32),    # H band
+            pltpu.VMEM((S, W), jnp.int32),    # best_gap_v
+            pltpu.VMEM((S, W), jnp.int32),    # gap_size_v
+            pltpu.VMEM((S, W), jnp.int32),    # row-n band
+            pltpu.VMEM((S, 1), jnp.int32),    # edge max
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(refs[:, None, :], alts[:, None, :], nm[:, None, :], offs[:, None, :])
+    )(refs, alts, meta)
+    # int16 fits every backtrack value (|k| < W, scores not stored):
+    # halves the device->host fetch, which dominates on a tunnel link
+    return bt.astype(jnp.int16), colm, lastrow, edge
 
 
 class BandedSWResult:
@@ -396,35 +408,45 @@ def sw_align_banded_batch(pairs, params, overhang=OverhangStrategy.SOFTCLIP,
 
     Ln = _round_up(max(len(r) for r in refs), 128)
     Lm = max(len(a) for a in alts)
-    # clip start at 2*Lpad - 2W must never move a window containing a
-    # valid lane: largest useful start is m-1+Lpad, so Lpad >= Lm + 2W
-    Lpad = _round_up(Lm + 2 * W, 128)
+    offmin = min(0, min(diagonals))
+    offmax = max(0, max(diagonals))
+    # per-alignment diagonal offsets fold into each alt's left padding:
+    # alt k sits at C + off_k, so the kernel's chunk start is shared by
+    # all 8 sublanes of a group. C large enough that the start is never
+    # negative; width covers the largest padded alt plus both chunks.
+    C = _round_up(2 * W - offmin, 128)
+    A = _round_up(max(C + offmax + Lm, C + Ln) + 2 * W, 128)
+    G = -(-B // S)
 
-    ref_arr = np.zeros((B, Ln), dtype=np.int32)
-    alt_arr = np.full((B, 2 * Lpad), -1, dtype=np.int32)
-    nm = np.zeros((B, 2), dtype=np.int32)
-    offs = np.zeros((B, 1), dtype=np.int32)
+    ref_arr = np.zeros((G, S, Ln), dtype=np.int32)
+    alt_arr = np.full((G, S, A), -1, dtype=np.int32)
+    meta = np.zeros((G, S, 128), dtype=np.int32)
     for k, (r, a) in enumerate(zip(refs, alts)):
-        ref_arr[k, :len(r)] = np.frombuffer(r, dtype=np.uint8)
-        alt_arr[k, Lpad:Lpad + len(a)] = np.frombuffer(a, dtype=np.uint8)
-        nm[k] = (len(r), len(a))
-        offs[k, 0] = diagonals[k]
+        g, s = divmod(k, S)
+        ref_arr[g, s, :len(r)] = np.frombuffer(r, dtype=np.uint8)
+        p = C + diagonals[k]
+        alt_arr[g, s, p:p + len(a)] = np.frombuffer(a, dtype=np.uint8)
+        meta[g, s, 0] = len(r)
+        meta[g, s, 1] = len(a)
+        meta[g, s, 2] = diagonals[k]
 
     indel_init = overhang in (OverhangStrategy.INDEL,
                               OverhangStrategy.LEADING_INDEL)
     bt, colm, lastrow, edge = (np.asarray(o) for o in _banded_call(
-        ref_arr, alt_arr, nm, offs,
-        Ln=Ln, Lpad=Lpad,
+        ref_arr, alt_arr, meta,
+        Ln=Ln, C=C,
         params=(params.match, params.mismatch, params.gap_open,
                 params.gap_extend),
         indel_init=indel_init, interpret=interpret))
 
     out = []
     for k in range(B):
-        n, m = int(nm[k, 0]), int(nm[k, 1])
-        res = _traceback_band(bt[k], colm[k, :, 0], lastrow[k, 0], n, m,
-                              int(offs[k, 0]), overhang,
-                              int(edge[k, 0, 0]))
+        g, s = divmod(k, S)
+        n, m = len(refs[k]), len(alts[k])
+        res = _traceback_band(bt[g, :, s, :], colm[g, :, s],
+                              lastrow[g, s], n, m,
+                              int(diagonals[k]), overhang,
+                              int(edge[g, s, 0]))
         if res is None:
             res = _sw_align_python(refs[k], alts[k], params, overhang)
             out.append(BandedSWResult(res, True))
