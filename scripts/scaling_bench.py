@@ -35,6 +35,9 @@ def main():
     env["JAX_PLATFORMS"] = "cpu"
     env["ROVACA_NATIVE_THREADS"] = "1"
     env["ROVACA_PIN_SHARDS"] = "1"
+    # one thread per rank: the scaling question is rank-per-core, so the
+    # in-process prep thread pair (host_executor) must not oversubscribe
+    env["ROVACA_PREP_THREADS"] = "1"
     env["JAX_COMPILATION_CACHE_DIR"] = os.path.expanduser(
         "~/.cache/rovaca_jax")
 
