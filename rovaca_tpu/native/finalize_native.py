@@ -125,22 +125,67 @@ def build_records(reads, n_out, o):
     return out
 
 
-def finalize_region(reads, span_start, span_end):
-    """Native finalize_region_reads + adjust_overlapping_pair_quals.
+class PackedFinalized:
+    """Finalized region reads as flat arrays — no ReadRecord
+    materialization. `o` is the alloc_outputs dict filled by the native
+    finalizer (n_out rows); `src` carries per-SOURCE-read scalars
+    (indexed through o['o_idx']) that finalize never changes."""
 
-    Returns a list of new ReadRecords (sorted, quals overlap-adjusted), or
-    None when the native library is unavailable/capacity exceeded."""
-    lib = _lib()
-    if lib is None:
-        return None
+    __slots__ = ("o", "n", "src")
+
+    def __init__(self, o, n, src):
+        self.o, self.n, self.src = o, n, src
+
+    def usable_mask(self, mapping_quality_threshold):
+        """filter_non_passing_reads2 (adapter_utils.cpp:240-251) over the
+        packed rows: unclipped length, mapping quality, mate contig."""
+        from .. import constants as C
+        o, src = self.o, self.src
+        idx = o["o_idx"][:self.n]
+        flag = src["flag"][idx]
+        mq = src["mq"][idx]
+        slen = o["o_slen"][:self.n].astype(np.int64)
+        # soft-clipped bases per finalized read (vectorized reduceat)
+        cn = o["o_cn"][:self.n].astype(np.int64)
+        coff = o["o_coff"][:self.n]
+        total = int(cn.sum())
+        if total:
+            gi = coff.repeat(cn) + _ranges(cn)
+            s_len = np.where(o["o_cops"][gi] == 4,       # CigarOp.S
+                             o["o_clens"][gi], 0)
+            bounds = np.zeros(self.n + 1, dtype=np.int64)
+            np.cumsum(cn, out=bounds[1:])
+            sc = np.add.reduceat(
+                np.concatenate((s_len, [0])), bounds[:-1])
+            sc[cn == 0] = 0
+        else:
+            sc = np.zeros(self.n, dtype=np.int64)
+        unclipped = slen - sc
+        paired = (flag & 1) != 0
+        unmapped = (flag & 4) != 0
+        mate_unmapped = (flag & 8) != 0
+        mate_ok = (~paired) | mate_unmapped | (
+            (~unmapped) & (src["ref_id"][idx] == src["mate_ref_id"][idx]))
+        return ((unclipped >= C.MIN_READ_LENGTH_AFTER_TRIMMING)
+                & (mq >= mapping_quality_threshold) & mate_ok)
+
+
+def _ranges(lens):
+    """concatenate([arange(l) for l in lens]) without the Python loop."""
+    total = int(lens.sum())
+    out = np.arange(total, dtype=np.int64)
+    bounds = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=bounds[1:])
+    return out - bounds[:-1].repeat(lens)
+
+
+def _call_finalize(lib, reads, span_start, span_end):
     n = len(reads)
-    if n == 0:
-        return []
+    packed = pack_reads(reads)
     (names, name_off, flag, ref_id, pos, tlen, mate_pos, cig_off, cig_n,
      cig_ops, cig_lens, seq_off, seq_len, bases, quals, hard_l, hard_r,
-     total) = pack_reads(reads)
+     total) = packed
     o = alloc_outputs(n, int(cig_ops.size), total)
-
     n_out = lib.rovaca_finalize_region(
         n, names.ctypes.data_as(_u8p), name_off.ctypes.data_as(_i64p),
         flag.ctypes.data_as(_i32p), ref_id.ctypes.data_as(_i32p),
@@ -161,6 +206,40 @@ def finalize_region(reads, span_start, span_end):
         o["o_slen"].ctypes.data_as(_i32p),
         o["o_bases"].ctypes.data_as(_u8p),
         o["o_quals"].ctypes.data_as(_u8p), o["seq_cap"], n)
+    return o, n_out, (flag, ref_id, tlen, mate_pos)
+
+
+def finalize_region_packed(reads, span_start, span_end):
+    """Native finalize to PackedFinalized arrays (GVCF inactive-region
+    fast path: the position-obs accumulator consumes these directly).
+    Returns None when unavailable/capacity exceeded or no reads."""
+    lib = _lib()
+    if lib is None or not reads:
+        return None
+    o, n_out, (flag, ref_id, tlen, mate_pos) = _call_finalize(
+        lib, reads, span_start, span_end)
+    if n_out < 0:
+        return None
+    n = len(reads)
+    src = dict(
+        flag=flag, ref_id=ref_id, tlen=tlen, mate_pos=mate_pos,
+        mq=np.fromiter((r.mapping_quality for r in reads), np.int32, n),
+        mate_ref_id=np.fromiter((r.mate_ref_id for r in reads),
+                                np.int32, n))
+    return PackedFinalized(o, int(n_out), src)
+
+
+def finalize_region(reads, span_start, span_end):
+    """Native finalize_region_reads + adjust_overlapping_pair_quals.
+
+    Returns a list of new ReadRecords (sorted, quals overlap-adjusted), or
+    None when the native library is unavailable/capacity exceeded."""
+    lib = _lib()
+    if lib is None:
+        return None
+    if not reads:
+        return []
+    o, n_out, _src = _call_finalize(lib, reads, span_start, span_end)
     if n_out < 0:
         return None
     return build_records(reads, n_out, o)

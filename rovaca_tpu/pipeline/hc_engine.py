@@ -87,7 +87,19 @@ class RegionCaller:
             if cfg.gvcf_mode:
                 # the reference finalizes reads AND corrects overlapping
                 # mate quals before the active check (hc_assemble_reads.c:
-                # 35-45; non-active returns right after)
+                # 35-45; non-active returns right after). Packed fast
+                # path: the finalize arrays feed the position-obs
+                # accumulator directly, no ReadRecord round-trip.
+                import os
+                if not os.environ.get("ROVACA_NO_NATIVE_FINALIZE"):
+                    from ..native import finalize_native, posobs_native
+                    if posobs_native.available():
+                        pk = finalize_native.finalize_region_packed(
+                            reads, pad_start, pad_stop)
+                        if pk is not None:
+                            return self._reference_confidence_only(
+                                region, pk, ref, contig,
+                                (pad_start, pad_stop))
                 fin = assembler.finalize_and_adjust(reads, pad_start,
                                                     pad_stop)
                 return self._reference_confidence_only(

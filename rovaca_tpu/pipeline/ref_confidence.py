@@ -556,9 +556,22 @@ def reference_model_for_no_variation(region, reads, ref, contig,
     over the ACTIVE span, informativeness bounded by the PADDED span."""
     if padded_span is None:
         padded_span = (region.start, region.end)
-    usable = _filter_non_passing(reads, mapping_quality_threshold)
     p0, p1 = padded_span
     padded_ref = np.frombuffer(bytes(ref[p0:p1 + 1]), dtype=np.uint8)
+
+    from ..native.finalize_native import PackedFinalized
+    if isinstance(reads, PackedFinalized):
+        # packed fast path (inactive regions): finalize arrays flow into
+        # the native accumulator without ReadRecord materialization
+        from ..native import posobs_native
+        obs = PositionObs(region.end + 1 - region.start)
+        posobs_native.build_position_obs_packed(
+            obs, reads, reads.usable_mask(mapping_quality_threshold),
+            padded_ref, p0, region.start, region.end + 1)
+        return reference_confidence_records(obs, ref, contig, region.start,
+                                            {}, sample=sample)
+
+    usable = _filter_non_passing(reads, mapping_quality_threshold)
     obs = build_position_obs(usable, padded_ref, p0,
                              region.start, region.end + 1)
     return reference_confidence_records(obs, ref, contig, region.start, {},
