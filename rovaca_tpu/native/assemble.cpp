@@ -28,7 +28,44 @@
 #include "sw.cpp"  // rovaca_sw_align: exact GATK SW (dangling-end recovery)
 #include "finalize.cpp"  // rovaca_fin::finalize_impl (fused prepare entry)
 
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
+
 namespace {
+
+// ROVACA_ASM_PROFILE=1: accumulate per-stage wall time, dump at exit.
+struct AsmProf {
+    enum Stage { FIN, NONUNIQ, THREAD, PRUNE, DANGLING, SEQGRAPH, KBEST,
+                 MERGE, NSTAGE };
+    double acc[NSTAGE] = {};
+    long calls[NSTAGE] = {};
+    bool on = getenv("ROVACA_ASM_PROFILE") != nullptr;
+    ~AsmProf() {
+        if (!on) return;
+        const char* names[] = {"finalize", "non_unique", "threading",
+                               "prune_cycle", "dangling", "seqgraph_simplify",
+                               "kbest", "merge_align"};
+        for (int s = 0; s < NSTAGE; s++)
+            fprintf(stderr, "[asmprof] %-18s %8.3fs  (%ld)\n", names[s],
+                    acc[s], calls[s]);
+    }
+};
+AsmProf g_prof;
+
+struct ProfScope {
+    int stage;
+    std::chrono::steady_clock::time_point t0;
+    explicit ProfScope(int s) : stage(s) {
+        if (g_prof.on) t0 = std::chrono::steady_clock::now();
+    }
+    ~ProfScope() {
+        if (!g_prof.on) return;
+        g_prof.acc[stage] += std::chrono::duration<double>(
+            std::chrono::steady_clock::now() - t0).count();
+        g_prof.calls[stage]++;
+    }
+};
 
 constexpr int kPruneFactor = 2;        // hc_assemble.h:16
 constexpr int kLowQualMul = 4;         // read_threading_assembler.c:25
@@ -1288,25 +1325,36 @@ void assemble_with_kmer(const uint8_t* ref, int64_t ref_len, int64_t n_reads,
         split_usable(bases + seq_off[r], quals + seq_off[r], seq_len[r], k,
                      read_seqs);
     {
+        ProfScope ps(AsmProf::NONUNIQ);
         std::vector<sv> all;
         all.reserve(read_seqs.size() + 1);
         all.push_back(refsv);
         for (auto& s : read_seqs) all.push_back(s);
         g.determine_non_unique(all);
     }
-    g.thread_sequence(refsv, true);
-    for (auto& s : read_seqs) g.thread_sequence(s, false);
-
-    g.prune_low_weight_chains();
-    if (g.has_cycle()) return;
-    if (!allow_low_complexity && g.is_low_quality()) return;
-    g.recover_dangling_tails();
-    g.recover_dangling_heads();
-    g.remove_paths_not_connected_to_ref();
+    {
+        ProfScope ps(AsmProf::THREAD);
+        g.thread_sequence(refsv, true);
+        for (auto& s : read_seqs) g.thread_sequence(s, false);
+    }
+    {
+        ProfScope ps(AsmProf::PRUNE);
+        g.prune_low_weight_chains();
+        if (g.has_cycle()) return;
+        if (!allow_low_complexity && g.is_low_quality()) return;
+    }
+    {
+        ProfScope ps(AsmProf::DANGLING);
+        g.recover_dangling_tails();
+        g.recover_dangling_heads();
+        g.remove_paths_not_connected_to_ref();
+    }
     if (!g.ref_source || !g.ref_sink) return;
 
     SeqGraph sg;
     {
+        ProfScope ps_sg(AsmProf::SEQGRAPH);
+        {
         std::unordered_map<Vertex*, SeqVertex*> mapping;
         for (Vertex* v : g.vertices) {
             std::string seq = (v == g.ref_source)
@@ -1321,17 +1369,19 @@ void assemble_with_kmer(const uint8_t* ref, int64_t ref_len, int64_t n_reads,
         sg.ref_source = g.ref_source ? mapping[g.ref_source] : nullptr;
         sg.ref_sink = g.ref_sink ? mapping[g.ref_sink] : nullptr;
     }
-    sg.zip_linear_chains();
-    sg.remove_singleton_orphans();
-    sg.remove_not_connected_undirected();
-    sg.simplify();
-    sg.rederive_ref_endpoints();
-    if (!sg.ref_source || !sg.ref_sink) return;
-    sg.simplify();
-    sg.rederive_ref_endpoints();
+        sg.zip_linear_chains();
+        sg.remove_singleton_orphans();
+        sg.remove_not_connected_undirected();
+        sg.simplify();
+        sg.rederive_ref_endpoints();
+        if (!sg.ref_source || !sg.ref_sink) return;
+        sg.simplify();
+        sg.rederive_ref_endpoints();
+    }
     out.build_ok = true;
     if (!sg.ref_source) return;  // success, zero paths, dijkstra never ran
     out.ran_kbest = true;
+    ProfScope ps_kb(AsmProf::KBEST);
     find_k_best_haplotypes(sg, first_kbest ? 1 : 0, out.paths);
 }
 
@@ -1429,6 +1479,7 @@ extern "C" int64_t rovaca_prepare_region(
     // haplotype outputs
     uint8_t* hap_buf, int64_t hap_cap, int64_t* hap_off,
     double* hap_scores, int32_t* hap_kmers, int64_t max_out_haps) {
+    ProfScope* ps_fin = new ProfScope(AsmProf::FIN);
     std::vector<rovaca_fin::FRead> fin = rovaca_fin::finalize_impl(
         n_reads, names, name_off, flag, ref_id, pos, tlen, mate_pos,
         cig_off, cig_n, cig_ops, cig_lens, seq_off, seq_len, bases, quals,
@@ -1437,6 +1488,7 @@ extern "C" int64_t rovaca_prepare_region(
         fin, out_idx, out_pos, out_hard_left, out_hard_right, out_cig_off,
         out_cig_n, out_cig_ops, out_cig_lens, out_cig_cap, out_seq_off,
         out_seq_len, out_bases, out_quals, out_seq_cap, max_out_reads);
+    delete ps_fin;
     if (nf < 0) return -1;
     *out_n_reads = nf;
     // run the kmer ladder directly over the serialized finalized arrays
