@@ -32,8 +32,8 @@ class HomRefBlock:
         self.sample = g.sample
         self.band_lo = band_lo
         self.band_hi = band_hi
-        self.dps = [g.dp or 0]
-        self.min_pls = list(g.pl) if g.pl else None
+        self.dp_chunks = [np.array([g.dp or 0])]
+        self.min_pls = np.asarray(g.pl) if g.pl is not None else None
         self.genotype = g
 
     @classmethod
@@ -48,8 +48,9 @@ class HomRefBlock:
         blk.sample = sample
         blk.band_lo = band_lo
         blk.band_hi = band_hi
-        blk.dps = dps
-        blk.min_pls = min_pls
+        blk.dp_chunks = [np.asarray(dps)]
+        blk.min_pls = (np.asarray(min_pls) if min_pls is not None
+                       else None)
         blk.genotype = _GqStub(gq)
         return blk
 
@@ -63,38 +64,41 @@ class HomRefBlock:
 
     def extend_run(self, stop, dps, run_min_pls):
         self.stop = stop
-        self.dps.extend(dps)
+        self.dp_chunks.append(np.asarray(dps))
         if run_min_pls is not None:
             if self.min_pls is None:
-                self.min_pls = list(run_min_pls)
+                self.min_pls = np.asarray(run_min_pls)
             else:
-                self.min_pls = [min(a, b)
-                                for a, b in zip(self.min_pls, run_min_pls)]
+                self.min_pls = np.minimum(self.min_pls, run_min_pls)
 
     def add(self, vc):
         g = vc.genotypes[0]
         self.stop = vc.stop
-        self.dps.append(g.dp or 0)
+        self.dp_chunks.append(np.array([g.dp or 0]))
         if g.pl is not None:
             if self.min_pls is None:
-                self.min_pls = list(g.pl)
+                self.min_pls = np.asarray(g.pl)
             else:
-                self.min_pls = [min(a, b)
-                                for a, b in zip(self.min_pls, g.pl)]
+                self.min_pls = np.minimum(self.min_pls, g.pl)
+
+    def dp_median_min(self):
+        # multiset median: odd -> middle; even -> round-half-away of the two
+        # middle values (hom_ref_block.cpp:88-100 median_dp)
+        s = np.sort(np.concatenate(self.dp_chunks))
+        n = len(s)
+        dp = (int(s[n // 2]) if n & 1
+              else (int(s[n // 2]) + int(s[n // 2 - 1]) + 1) // 2)
+        return dp, int(s[0])
 
     def to_variant(self):
         from ..genotype.variant import Genotype, Variant
-        # multiset median: odd -> middle; even -> round-half-away of the two
-        # middle values (hom_ref_block.cpp:88-100 median_dp)
-        s = sorted(self.dps)
-        n = len(s)
-        dp = s[n // 2] if n & 1 else (s[n // 2] + s[n // 2 - 1] + 1) // 2
+        dp, min_dp = self.dp_median_min()
+        pls = (self.min_pls.tolist() if self.min_pls is not None else None)
         g = Genotype(alleles=[self.ref, self.ref],
-                     pl=self.min_pls, dp=dp,
-                     gq=self.genotype.gq if self.min_pls is None else
-                     _gq(self.min_pls),
+                     pl=pls, dp=dp,
+                     gq=self.genotype.gq if pls is None else _gq(pls),
                      sample=self.sample,
-                     attributes={"MIN_DP": int(min(self.dps))})
+                     attributes={"MIN_DP": min_dp})
         v = Variant(contig=self.contig, start=self.start, stop=self.stop,
                     alleles=[self.ref, NON_REF], genotypes=[g],
                     log10_error=1.0)
@@ -166,8 +170,8 @@ class BlockCombiner:
             lo = int(parts[bi - 1]) if bi > 0 else 0
             hi = int(parts[bi]) if bi < parts.size else 100
             gstart = span.start + s
-            run_min_pls = span.pls[s:e].min(axis=0).tolist()
-            dps = [int(d) for d in span.dp[s:e]]
+            run_min_pls = span.pls[s:e].min(axis=0)
+            dps = span.dp[s:e]
             if (self.block is not None
                     and self.block.accepts_run(span.contig, gstart, lo)):
                 self.block.extend_run(gstart + (e - s) - 1, dps, run_min_pls)
@@ -187,11 +191,9 @@ class BlockCombiner:
         self.block = None
         fast = getattr(self.writer, "write_hom_ref_block", None)
         if fast is not None and b.min_pls is not None:
-            s = sorted(b.dps)
-            n = len(s)
-            dp = s[n // 2] if n & 1 else (s[n // 2] + s[n // 2 - 1] + 1) // 2
+            dp, min_dp = b.dp_median_min()
             fast(b.contig, b.start, b.stop, b.ref.bases.decode(), dp,
-                 _gq(b.min_pls), int(min(b.dps)), b.min_pls)
+                 _gq(b.min_pls.tolist()), min_dp, b.min_pls)
         else:
             self.writer.write(b.to_variant())
 
