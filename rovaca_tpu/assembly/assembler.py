@@ -74,7 +74,7 @@ def sequences_for_assembly(read, kmer_size):
 
 
 def prepare_region_native(reads, span_start, span_end, ref_window,
-                          window_start):
+                          window_start, packed=None):
     """Fused native finalize + overlap-adjust + assembly (one C call, no
     Python round-trip between stages). Returns (finalized_reads,
     haplotypes) or None when unavailable (caller uses the split path)."""
@@ -89,7 +89,8 @@ def prepare_region_native(reads, span_start, span_end, ref_window,
         ref_window = ref_window.encode()
     out = prepare_native.prepare_region(
         reads, span_start, span_end, ref_window, C.ASSEMBLY_KMER_SIZES,
-        C.ASSEMBLY_KMER_STEP, C.ASSEMBLY_MAX_KMER_ITERATIONS)
+        C.ASSEMBLY_KMER_STEP, C.ASSEMBLY_MAX_KMER_ITERATIONS,
+        packed=packed)
     if out is None:
         return None
     fin, results = out

@@ -179,9 +179,10 @@ def _ranges(lens):
     return out - bounds[:-1].repeat(lens)
 
 
-def _call_finalize(lib, reads, span_start, span_end):
+def _call_finalize(lib, reads, span_start, span_end, packed=None):
     n = len(reads)
-    packed = pack_reads(reads)
+    if packed is None:
+        packed = pack_reads(reads)
     (names, name_off, flag, ref_id, pos, tlen, mate_pos, cig_off, cig_n,
      cig_ops, cig_lens, seq_off, seq_len, bases, quals, hard_l, hard_r,
      total) = packed
@@ -209,23 +210,30 @@ def _call_finalize(lib, reads, span_start, span_end):
     return o, n_out, (flag, ref_id, tlen, mate_pos)
 
 
-def finalize_region_packed(reads, span_start, span_end):
+def finalize_region_packed(reads, span_start, span_end, cols_idx=None):
     """Native finalize to PackedFinalized arrays (GVCF inactive-region
     fast path: the position-obs accumulator consumes these directly).
+    cols_idx=(ReadColumns, row indices) supplies a pre-gathered pack.
     Returns None when unavailable/capacity exceeded or no reads."""
     lib = _lib()
     if lib is None or not reads:
         return None
+    packed = mq = mate_rid = None
+    if cols_idx is not None:
+        cols, idx = cols_idx
+        packed = cols.pack(idx)
+        mq = np.ascontiguousarray(cols.mq[idx])
+        mate_rid = np.ascontiguousarray(cols.mate_rid[idx])
     o, n_out, (flag, ref_id, tlen, mate_pos) = _call_finalize(
-        lib, reads, span_start, span_end)
+        lib, reads, span_start, span_end, packed=packed)
     if n_out < 0:
         return None
     n = len(reads)
-    src = dict(
-        flag=flag, ref_id=ref_id, tlen=tlen, mate_pos=mate_pos,
-        mq=np.fromiter((r.mapping_quality for r in reads), np.int32, n),
-        mate_ref_id=np.fromiter((r.mate_ref_id for r in reads),
-                                np.int32, n))
+    if mq is None:
+        mq = np.fromiter((r.mapping_quality for r in reads), np.int32, n)
+        mate_rid = np.fromiter((r.mate_ref_id for r in reads), np.int32, n)
+    src = dict(flag=flag, ref_id=ref_id, tlen=tlen, mate_pos=mate_pos,
+               mq=mq, mate_ref_id=mate_rid)
     return PackedFinalized(o, int(n_out), src)
 
 
@@ -243,3 +251,107 @@ def finalize_region(reads, span_start, span_end):
     if n_out < 0:
         return None
     return build_records(reads, n_out, o)
+
+
+# ---------------------------------------------------------------------------
+# contig-wide columnar read cache: pack_reads via numpy gathers
+# ---------------------------------------------------------------------------
+
+class ReadColumns:
+    """One pass over a contig's reads into flat columns; per-region
+    pack_reads tuples then come from numpy gathers instead of per-read
+    Python attribute access (pipeline/caller.py builds one per contig and
+    hands each region its row indices)."""
+
+    def __init__(self, reads):
+        n = len(reads)
+        self.reads = reads
+        flag = np.empty(n, dtype=np.int32)
+        ref_id = np.empty(n, dtype=np.int32)
+        pos = np.empty(n, dtype=np.int64)
+        tlen = np.empty(n, dtype=np.int32)
+        mate_pos = np.empty(n, dtype=np.int64)
+        hard_l = np.empty(n, dtype=np.int32)
+        hard_r = np.empty(n, dtype=np.int32)
+        mq = np.empty(n, dtype=np.int32)
+        mate_rid = np.empty(n, dtype=np.int32)
+        name_ln = np.empty(n, dtype=np.int64)
+        cig_n = np.empty(n, dtype=np.int64)
+        seq_ln = np.empty(n, dtype=np.int64)
+        names_l, ops_l, lens_l, bases_l = [], [], [], []
+        quals_l = []
+        for i, r in enumerate(reads):
+            flag[i] = r.flag
+            ref_id[i] = r.ref_id
+            pos[i] = r.pos
+            tlen[i] = r.tlen
+            mate_pos[i] = r.mate_pos
+            hard_l[i] = r.hard_left
+            hard_r[i] = r.hard_right
+            mq[i] = r.mapping_quality
+            mate_rid[i] = r.mate_ref_id
+            nb = r.name.encode() if isinstance(r.name, str) else r.name
+            names_l.append(nb)
+            name_ln[i] = len(nb)
+            el = r.cigar.elements
+            cig_n[i] = len(el)
+            ops_l += [e[0] for e in el]
+            lens_l += [e[1] for e in el]
+            b = r.bases
+            bases_l.append(b if isinstance(b, bytes) else bytes(b))
+            seq_ln[i] = len(b)
+            quals_l.append(r.quals)
+        self.flag, self.ref_id, self.pos, self.tlen = flag, ref_id, pos, tlen
+        self.mate_pos, self.hard_l, self.hard_r = mate_pos, hard_l, hard_r
+        self.mq, self.mate_rid = mq, mate_rid
+        self.name_ln, self.cig_n, self.seq_ln = name_ln, cig_n, seq_ln
+        self.names = np.frombuffer(b"".join(names_l), dtype=np.uint8)
+        self.name_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(name_ln, out=self.name_off[1:])
+        self.cig_ops = np.array(ops_l, dtype=np.uint8)
+        self.cig_lens = np.array(lens_l, dtype=np.int32)
+        self.cig_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cig_n, out=self.cig_off[1:])
+        self.bases = np.frombuffer(b"".join(bases_l), dtype=np.uint8)
+        self.seq_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(seq_ln, out=self.seq_off[1:])
+        total = int(self.seq_off[-1])
+        self.quals = np.empty(total, dtype=np.uint8)
+        for i, q in enumerate(quals_l):
+            self.quals[self.seq_off[i]:self.seq_off[i + 1]] = q
+
+    def pack(self, idx):
+        """pack_reads tuple for rows `idx` (any int array, region order)."""
+        idx = np.asarray(idx, dtype=np.int64)
+        n = idx.size
+
+        nl = self.name_ln[idx]
+        names = self.names[self.name_off[idx].repeat(nl) + _ranges(nl)]
+        name_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(nl, out=name_off[1:])
+
+        cn = self.cig_n[idx]
+        gi = self.cig_off[idx].repeat(cn) + _ranges(cn)
+        cig_ops = np.ascontiguousarray(self.cig_ops[gi])
+        cig_lens = np.ascontiguousarray(self.cig_lens[gi])
+        cig_off = np.zeros(n, dtype=np.int64)
+        np.cumsum(cn[:-1], out=cig_off[1:])
+
+        sl = self.seq_ln[idx]
+        si = self.seq_off[idx].repeat(sl) + _ranges(sl)
+        bases = np.ascontiguousarray(self.bases[si])
+        quals = np.ascontiguousarray(self.quals[si])
+        seq_off = np.zeros(n, dtype=np.int64)
+        np.cumsum(sl[:-1], out=seq_off[1:])
+        total = int(sl.sum())
+
+        return (names, name_off,
+                np.ascontiguousarray(self.flag[idx]),
+                np.ascontiguousarray(self.ref_id[idx]),
+                np.ascontiguousarray(self.pos[idx]),
+                np.ascontiguousarray(self.tlen[idx]),
+                np.ascontiguousarray(self.mate_pos[idx]),
+                cig_off, cn.astype(np.int32), cig_ops, cig_lens,
+                seq_off, sl.astype(np.int32), bases, quals,
+                np.ascontiguousarray(self.hard_l[idx]),
+                np.ascontiguousarray(self.hard_r[idx]), total)

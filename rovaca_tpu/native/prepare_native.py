@@ -38,9 +38,10 @@ def available():
 
 
 def prepare_region(reads, span_start, span_end, ref_window, kmer_sizes,
-                   kmer_step, max_iterations, max_haps=4096):
+                   kmer_step, max_iterations, max_haps=4096, packed=None):
     """Fused finalize + overlap-adjust + kmer-ladder assembly.
 
+    `packed` optionally supplies the pack_reads tuple (ReadColumns.pack).
     Returns (finalized_read_records, {seq: (score, kmer)}) or None on
     unavailability/capacity (caller falls back to the split path)."""
     lib = _lib()
@@ -49,9 +50,11 @@ def prepare_region(reads, span_start, span_end, ref_window, kmer_sizes,
     n = len(reads)
     if n == 0:
         return [], {}
+    if packed is None:
+        packed = finalize_native.pack_reads(reads)
     (names, name_off, flag, ref_id, pos, tlen, mate_pos, cig_off, cig_n,
      cig_ops, cig_lens, seq_off, seq_len, bases, quals, hard_l, hard_r,
-     total) = finalize_native.pack_reads(reads)
+     total) = packed
     o = finalize_native.alloc_outputs(n, int(cig_ops.size), total)
 
     ref_arr = np.frombuffer(ref_window, dtype=np.uint8)
