@@ -176,3 +176,45 @@ extern "C" void rovaca_activity_accumulate(
         }
     }
 }
+
+// ---------------------------------------------------------------------------
+// Batched per-position genotype-likelihood accumulation from the pileup
+// histogram, in the REFERENCE's exact bucket order (FS_REF buckets first,
+// qual ascending; reference_confidence_model.cpp:114-186, HcActiveBase.cpp:
+// 190-230): gl[p][g] = sum over non-zero (state, qual) buckets of
+// count * cache[state][qual][g], minus read_count * log10(ploidy).
+// Sparse skip of zero-count buckets makes this ~50x cheaper than the dense
+// einsum it replaces; cache rows at-or-below the qual threshold are zeroed
+// by the caller (identical partial sums, reference skips them via the
+// threshold+1 loop start).
+// hist layout: (2, L, 64) int32 C-contiguous, state 0 = non-ref evidence,
+// state 1 = ref (our PositionObs layout).
+// ---------------------------------------------------------------------------
+
+extern "C" void rovaca_pileup_gls(
+    const int32_t* hist, int64_t L, const double* cache, int64_t G,
+    int32_t qual_threshold, double log10_ploidy, double* gl,
+    int64_t* counts) {
+    const int64_t HQ = 64;
+    for (int64_t p = 0; p < L; ++p) {
+        double* g = gl + p * G;
+        for (int64_t k = 0; k < G; ++k) g[k] = 0.0;
+        int64_t n = 0;
+        // reference iterates FS_REF (our state 1) first, then FS_NON_REF
+        for (int s = 1; s >= 0; --s) {
+            const int32_t* row = hist + ((int64_t)s * L + p) * HQ;
+            const double* crow = cache + (int64_t)s * HQ * G;
+            for (int64_t q = 0; q < HQ; ++q) {
+                const int32_t c = row[q];
+                if (c == 0) continue;
+                const double* cv = crow + q * G;
+                const double dc = (double)c;
+                for (int64_t k = 0; k < G; ++k) g[k] += dc * cv[k];
+                if (q > qual_threshold) n += c;
+            }
+        }
+        const double denom = (double)n * log10_ploidy;
+        for (int64_t k = 0; k < G; ++k) g[k] -= denom;
+        counts[p] = n;
+    }
+}

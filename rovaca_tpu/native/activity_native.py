@@ -82,3 +82,74 @@ def accumulate(win, reads, ref_arr, ref_off):
         win.hist.ctypes.data_as(_i32p),
         win.hq_sum.ctypes.data_as(_f64p),
         win.hq_n.ctypes.data_as(_i64p))
+
+
+def accumulate_cols(win, cols, ref_arr, ref_off):
+    """Columnar fast path: accumulate BamColumns rows straight from the
+    ingestion slabs (io/bamcols.py) — no per-read marshaling at all.
+    Offsets in cols are absolute into the shared slabs, which is exactly
+    the ABI rovaca_activity_accumulate consumes."""
+    lib = _lib()
+    n = cols.n
+    if n == 0:
+        return
+    pos = np.ascontiguousarray(cols.pos, dtype=np.int64)
+    mate_pos = np.ascontiguousarray(cols.mate_pos, dtype=np.int64)
+    tlen = np.ascontiguousarray(cols.tlen, dtype=np.int32)
+    flag = np.ascontiguousarray(cols.flag, dtype=np.int32)
+    cig_off = np.ascontiguousarray(cols.cig_off, dtype=np.int64)
+    cig_n = np.ascontiguousarray(cols.cig_n, dtype=np.int32)
+    seq_off = np.ascontiguousarray(cols.seq_off, dtype=np.int64)
+    seq_len = np.ascontiguousarray(cols.seq_ln, dtype=np.int32)
+
+    assert win.hist.flags.c_contiguous and win.hist.dtype == np.int32
+    ref_c = np.ascontiguousarray(ref_arr, dtype=np.uint8)
+    lib.rovaca_activity_accumulate(
+        n, pos.ctypes.data_as(_i64p), mate_pos.ctypes.data_as(_i64p),
+        tlen.ctypes.data_as(_i32p), flag.ctypes.data_as(_i32p),
+        cig_off.ctypes.data_as(_i64p), cig_n.ctypes.data_as(_i32p),
+        cols.cig_ops.ctypes.data_as(_u8p),
+        cols.cig_lens.ctypes.data_as(_i32p),
+        seq_off.ctypes.data_as(_i64p), seq_len.ctypes.data_as(_i32p),
+        cols.bases.ctypes.data_as(_u8p), cols.quals.ctypes.data_as(_u8p),
+        ref_c.ctypes.data_as(_u8p), ref_off, ref_c.size,
+        win.start, win.end - win.start,
+        win.hist.ctypes.data_as(_i32p),
+        win.hq_sum.ctypes.data_as(_f64p),
+        win.hq_n.ctypes.data_as(_i64p))
+
+
+def pileup_gls(hist, cache, qual_threshold, ploidy):
+    """(gl (L,G) float64, counts (L,) int64) from the (2, L, 64) histogram
+    via the sparse native bucket accumulation (reference order); None when
+    the native lib is unavailable."""
+    import math
+    import os
+    lib = _lib()
+    if lib is None or os.environ.get("ROVACA_NO_NATIVE_ACTIVITY"):
+        return None
+    if not lib_has_pileup_gls(lib):
+        return None
+    L = hist.shape[1]
+    G = cache.shape[2]
+    hist = np.ascontiguousarray(hist, dtype=np.int32)
+    cache = np.ascontiguousarray(cache, dtype=np.float64)
+    gl = np.empty((L, G), dtype=np.float64)
+    counts = np.empty(L, dtype=np.int64)
+    lib.rovaca_pileup_gls(
+        hist.ctypes.data_as(_i32p), L, cache.ctypes.data_as(_f64p), G,
+        qual_threshold, math.log10(ploidy),
+        gl.ctypes.data_as(_f64p), counts.ctypes.data_as(_i64p))
+    return gl, counts
+
+
+@functools.lru_cache(maxsize=1)
+def lib_has_pileup_gls(lib):
+    try:
+        fn = lib.rovaca_pileup_gls
+    except AttributeError:
+        return False
+    fn.restype = None
+    fn.argtypes = [_i32p, ctypes.c_int64, _f64p, ctypes.c_int64,
+                   ctypes.c_int32, ctypes.c_double, _f64p, _i64p]
+    return True

@@ -180,9 +180,9 @@ def _ranges(lens):
 
 
 def _call_finalize(lib, reads, span_start, span_end, packed=None):
-    n = len(reads)
     if packed is None:
         packed = pack_reads(reads)
+    n = len(packed[2])  # flag column rows (reads may be None with packed)
     (names, name_off, flag, ref_id, pos, tlen, mate_pos, cig_off, cig_n,
      cig_ops, cig_lens, seq_off, seq_len, bases, quals, hard_l, hard_r,
      total) = packed
@@ -216,20 +216,24 @@ def finalize_region_packed(reads, span_start, span_end, cols_idx=None):
     cols_idx=(ReadColumns, row indices) supplies a pre-gathered pack.
     Returns None when unavailable/capacity exceeded or no reads."""
     lib = _lib()
-    if lib is None or not reads:
+    if lib is None:
         return None
     packed = mq = mate_rid = None
     if cols_idx is not None:
         cols, idx = cols_idx
+        if len(idx) == 0:
+            return None
         packed = cols.pack(idx)
         mq = np.ascontiguousarray(cols.mq[idx])
         mate_rid = np.ascontiguousarray(cols.mate_rid[idx])
+    elif not reads:
+        return None
     o, n_out, (flag, ref_id, tlen, mate_pos) = _call_finalize(
         lib, reads, span_start, span_end, packed=packed)
     if n_out < 0:
         return None
-    n = len(reads)
     if mq is None:
+        n = len(reads)
         mq = np.fromiter((r.mapping_quality for r in reads), np.int32, n)
         mate_rid = np.fromiter((r.mate_ref_id for r in reads), np.int32, n)
     src = dict(flag=flag, ref_id=ref_id, tlen=tlen, mate_pos=mate_pos,

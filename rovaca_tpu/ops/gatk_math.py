@@ -20,9 +20,20 @@ LOG10_E = np.log10(np.e)
 
 @functools.lru_cache(maxsize=None)
 def jacobian_log_table(dtype=np.float64):
-    """log10(1 + 10^-(k*step)) for k in [0, 80001); context.h:44-49."""
-    k = np.arange(JACOBIAN_LOG_TABLE_SIZE, dtype=np.float64)
-    return np.log10(1.0 + np.power(10.0, -k * JACOBIAN_LOG_TABLE_STEP)).astype(dtype)
+    """log10(1 + 10^-(k*step)) for k in [0, 80001); context.h:44-49.
+
+    Built with scalar libm calls (math.log10/**), not numpy's vectorized
+    transcendentals — numpy's SIMD pow/log10 differ from glibc libm by an
+    ulp on some inputs, and the reference builds its table with
+    std::log10/std::pow (math_utils.h:236-241), so bit-equivalence of the
+    downstream GL/PL arithmetic requires libm here.
+    """
+    import math
+    step = JACOBIAN_LOG_TABLE_STEP
+    tbl = np.empty(JACOBIAN_LOG_TABLE_SIZE, dtype=np.float64)
+    for i in range(JACOBIAN_LOG_TABLE_SIZE):
+        tbl[i] = math.log10(1.0 + 10.0 ** (-step * i))
+    return tbl.astype(dtype)
 
 
 def approximate_log10_sum_log10(a, b, dtype=np.float64):
@@ -38,7 +49,9 @@ def approximate_log10_sum_log10(a, b, dtype=np.float64):
     diff = big - small
     tbl = jacobian_log_table(dtype)
     # fastRound(diff * inv_step): round-half-away-from-zero on positive values
-    idx = (diff * dtype(1.0 / JACOBIAN_LOG_TABLE_STEP) + dtype(0.5)).astype(np.int64)
+    finite_diff = np.where(np.isfinite(diff), diff, dtype(0.0))
+    idx = (finite_diff * dtype(1.0 / JACOBIAN_LOG_TABLE_STEP)
+           + dtype(0.5)).astype(np.int64)
     idx = np.clip(idx, 0, JACOBIAN_LOG_TABLE_SIZE - 1)
     approx = big + tbl[idx]
     out = np.where(diff >= dtype(MAX_JACOBIAN_TOLERANCE), big, approx)

@@ -67,6 +67,12 @@ class HostExecutor:
         if self._pool is not None:
             futures = {}
             for key, region, reads, ref_window, contig in tasks:
+                if isinstance(reads, tuple) and len(reads) == 3 and \
+                        reads[0] == "cols":
+                    # materialize before pickling to the worker process —
+                    # shipping the whole column slab set per task would
+                    # dwarf the prep work itself
+                    reads = reads[1].materialize(reads[2])
                 futures[key] = self._pool.submit(
                     _worker_prepare, (region, reads, ref_window, contig))
             for key, fut in futures.items():

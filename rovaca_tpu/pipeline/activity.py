@@ -23,6 +23,7 @@ import math
 import numpy as np
 
 from .. import constants as C
+from ..ops import gatk_math
 from ..reads.cigar import CigarOp
 
 # constants from HcActiveBase.cpp:1-12
@@ -45,29 +46,38 @@ def _log10_binom(n, k):
 
 def genotype_cache(ploidy=2):
     """(2, 64, ploidy+1) cache of per-base genotype log-likelihood terms
-    (HcActiveBase.h:152-179). Status 0 = variant evidence, 1 = reference."""
-    q = np.arange(MAX_QUAL_BIN, dtype=np.float64)
-    err = 10.0 ** (-q / 10.0)
-    prob_log10 = np.log10(np.maximum(1.0 - err, 1e-300))
-    err_log10 = -q / 10.0
+    (HcActiveBase.h:152-179). Status 0 = variant evidence, 1 = reference.
+
+    Built with SCALAR libm arithmetic that transcribes the reference
+    bit-for-bit (quality_utils.cpp:19-31: error log10 is ``q * -0.1`` —
+    not ``-q/10.0``, which differs by an ulp for some q — and the prob
+    cache is ``std::log10(1 - std::pow(10, q/-10.0))``; the het term is
+    the QUANTIZED Jacobian-table sum, math_utils.cpp:280-291, step 1e-4 —
+    NOT an exact log-sum-exp, whose few-1e-4-phred skew flips GVCF PL
+    rounding at integer boundaries; round-4 divergence seed 867530)."""
     third = math.log10(1.0 / 3.0)
     lp = math.log10(ploidy)
 
     cache = np.zeros((2, MAX_QUAL_BIN, ploidy + 1))
     for status in range(2):
-        if status == 0:  # variant base
-            ref_lik = err_log10 + third
-            nonref_lik = prob_log10
-        else:            # reference base
-            ref_lik = prob_log10
-            nonref_lik = err_log10 + third
-        cache[status, :, 0] = ref_lik + lp
-        cache[status, :, ploidy] = nonref_lik + lp
-        for g in range(1, ploidy):
-            a = ref_lik + math.log10(ploidy - g)
-            b = nonref_lik + math.log10(g)
-            m = np.maximum(a, b)
-            cache[status, :, g] = m + np.log10(10.0 ** (a - m) + 10.0 ** (b - m))
+        for q in range(MAX_QUAL_BIN):
+            err_prob = 10.0 ** (q / -10.0)
+            prob_log10 = math.log10(1.0 - err_prob) if err_prob < 1.0 \
+                else -300.0
+            err_log10 = q * -0.1
+            if status == 0:  # variant base
+                ref_lik = err_log10 + third
+                nonref_lik = prob_log10
+            else:            # reference base
+                ref_lik = prob_log10
+                nonref_lik = err_log10 + third
+            cache[status, q, 0] = ref_lik + lp
+            cache[status, q, ploidy] = nonref_lik + lp
+            for g in range(1, ploidy):
+                a = ref_lik + math.log10(ploidy - g)
+                b = nonref_lik + math.log10(g)
+                cache[status, q, g] = float(
+                    gatk_math.approximate_log10_sum_log10(a, b))
     return cache
 
 
@@ -272,6 +282,17 @@ def accumulate_reads(win, reads, ref):
         ref_arr, ref_off = np.frombuffer(ref.data, dtype=np.uint8), ref.offset
 
     import os
+    from ..io.bamcols import BamColumns
+    if isinstance(reads, BamColumns):
+        from ..native import activity_native
+        if activity_native.available() and \
+                not os.environ.get("ROVACA_NO_NATIVE_ACTIVITY"):
+            activity_native.accumulate_cols(win, reads, ref_arr, ref_off)
+        else:
+            activity_native_fallback = reads.materialize(
+                np.arange(reads.n))
+            accumulate_reads(win, activity_native_fallback, ref)
+        return
     if not os.environ.get("ROVACA_NO_NATIVE_ACTIVITY"):
         from ..native import activity_native
         if activity_native.available():
@@ -362,10 +383,16 @@ def compute_activity(win, ploidy=C.SAMPLE_PLOIDY):
     # avoids materializing the (2, L, 64) float array
     cache = _masked_genotype_cache(ploidy)
     hist = win.hist
-    counts = hist[:, :, MIN_BASE_QUAL + 1:].sum(
-        axis=(0, 2), dtype=np.int64).astype(np.float64)  # (L,)
-    gl = np.einsum("sLq,sqg->Lg", hist, cache)          # (L, ploidy+1)
-    gl -= counts[:, None] * math.log10(ploidy)
+    from ..native import activity_native
+    ng = activity_native.pileup_gls(hist, cache, MIN_BASE_QUAL, ploidy)
+    if ng is not None:
+        gl, icounts = ng
+        counts = icounts.astype(np.float64)
+    else:
+        counts = hist[:, :, MIN_BASE_QUAL + 1:].sum(
+            axis=(0, 2), dtype=np.int64).astype(np.float64)  # (L,)
+        gl = np.einsum("sLq,sqg->Lg", hist, cache)          # (L, ploidy+1)
+        gl -= counts[:, None] * math.log10(ploidy)
 
     # PL quantization
     best = gl.max(axis=1, keepdims=True)

@@ -244,7 +244,7 @@ class HaplotypeCaller:
             _prof.start_trace(args.profile_dir)
             profiling = True
         try:
-            for contig, reads in self._reads_by_contig(reader, span):
+            for contig, reads in self._read_stream(reader, span):
                 self._call_contig(contig, reads, caller, writer, combiner,
                                   span)
         finally:
@@ -295,6 +295,92 @@ class HaplotypeCaller:
             for r in readers:
                 r.close()
         return merged_reader(self.args.bam_paths)
+
+    def _use_columnar(self):
+        """Columnar ingestion handles the common single-BAM, no-BQSR
+        configuration (the BQSR transform and the multi-BAM k-way merge
+        stay on the object stream); see io/bamcols.py."""
+        import os
+        if os.environ.get("ROVACA_NO_COLUMNS"):
+            return False
+        if self.bqsr is not None or len(self.args.bam_paths) != 1:
+            return False
+        from ..io import bamcols
+        from ..native import activity_native
+        return bamcols.available() and activity_native.available()
+
+    def _read_stream(self, reader, span):
+        """(contig, reads) stream — columnar fast path when eligible,
+        otherwise the ReadRecord object stream."""
+        if not self._use_columnar():
+            yield from self._reads_by_contig(reader, span)
+            return
+        # the object reader opened in run() is unused on this path
+        if hasattr(reader, "close"):
+            reader.close()
+        yield from self._columns_by_contig(span)
+
+    def _columns_by_contig(self, span):
+        """Columnar mirror of _reads_by_contig: per contig, vectorized
+        HC filter + WES targeting + native Java-LCG positional downsample
+        over the column arrays; reads stay in slab form until a region
+        needs objects. Bit-equal keep-set and order to the object path
+        (tests/test_bamcols.py)."""
+        from ..io.bamcols import ColumnarDownsampler, stream_contig_columns
+        ds = ColumnarDownsampler(target=self.args.max_reads_depth)
+
+        wes_ivals = {}
+        if self.bed is not None:
+            for ctg in self.fasta.contig_dict:
+                ivs = self.bed.padded_intervals(ctg)
+                if ivs:
+                    wes_ivals[ctg] = (
+                        np.array([s for s, _ in ivs], dtype=np.int64),
+                        np.array([e for _, e in ivs], dtype=np.int64))
+
+        pad = C.REGION_MAX_SIZE + C.REGION_PADDING
+        pending = None      # (contig, cols, rows) buffered for at_eof
+        for contig, cols in stream_contig_columns(self.args.bam_paths[0]):
+            self.stats["reads"] += cols.n
+            if span and contig != span[0]:
+                continue
+            mask = cols.hc_filter_mask()
+            if self.bed is not None:
+                ivs = wes_ivals.get(contig)
+                if ivs is None:
+                    continue
+                starts, ends = ivs
+                i = np.searchsorted(starts, cols.pos, side="right")
+                c1 = (i > 0) & (ends[np.maximum(i - 1, 0)] > cols.pos)
+                i_cl = np.minimum(i, len(starts) - 1)
+                c2 = (i < len(starts)) & (starts[i_cl] < cols.end)
+                on_target = c1 | c2
+                # the reference's WES loader never streams off-target reads
+                # (rovaca_tool.hpp:275); both filter counters and the LCG
+                # stream see only targeted reads
+                n_reaching = int(on_target.sum())
+                mask &= on_target
+                # filtered counter mirrors HCReadFilter.filtered_count:
+                # on-target reads that failed the filter
+                self.stats["filtered"] += n_reaching - int(mask.sum())
+            else:
+                self.stats["filtered"] += cols.n - int(mask.sum())
+            if span and span[1] is not None:
+                lo = max(0, span[1] - pad)
+                hi = span[2] + pad
+                mask &= (cols.pos < hi) & (cols.end > lo)
+            rows = np.nonzero(mask)[0]
+            if rows.size == 0:
+                continue
+            if pending is not None:
+                pc, pcols, prows = pending
+                kept = ds.keep_indices(pcols.pos[prows], at_eof=False)
+                yield pc, pcols.select(prows[kept])
+            pending = (contig, cols, rows)
+        if pending is not None:
+            pc, pcols, prows = pending
+            kept = ds.keep_indices(pcols.pos[prows], at_eof=True)
+            yield pc, pcols.select(prows[kept])
 
     def _reads_by_contig(self, reader, span):
         """Filtered + downsampled reads grouped per contig (streaming).
@@ -364,14 +450,23 @@ class HaplotypeCaller:
         args = self.args
         ref = self.fasta.fetch(contig)
         contig_len = len(ref)
-        if not reads:
+        from ..io.bamcols import BamColumns
+        is_cols = isinstance(reads, BamColumns)
+        if (is_cols and reads.n == 0) or (not is_cols and not reads):
             return
 
         # hoist read spans into arrays once: the window/region loops below
         # select overlapping reads millions of times, and per-read property
         # chains (r.end -> cigar.reference_length) dominated the host profile
-        pos_arr = np.fromiter((r.pos for r in reads), np.int64, len(reads))
-        end_arr = np.fromiter((r.end for r in reads), np.int64, len(reads))
+        if is_cols:
+            pos_arr, end_arr = reads.pos, reads.end
+            n_reads = reads.n
+        else:
+            pos_arr = np.fromiter((r.pos for r in reads), np.int64,
+                                  len(reads))
+            end_arr = np.fromiter((r.end for r in reads), np.int64,
+                                  len(reads))
+            n_reads = len(reads)
         pos_sorted = bool(np.all(pos_arr[1:] >= pos_arr[:-1]))
 
         if not getattr(self, "_prewarmed", False) and \
@@ -380,15 +475,20 @@ class HaplotypeCaller:
             # while the host runs activity profiling + assembly below
             self._prewarmed = True
             from .scheduler import PairHMMScheduler
-            PairHMMScheduler.prewarm_async(
-                int(max(len(r.bases) for r in reads[:4096])))
+            if is_cols:
+                max_len = int(reads.seq_ln[:4096].max())
+            else:
+                max_len = int(max(len(r.bases) for r in reads[:4096]))
+            PairHMMScheduler.prewarm_async(max_len)
 
-        def overlapping(p_arr, e_arr, items, start, stop, sorted_ok):
+        def overlapping_sel(p_arr, e_arr, start, stop, sorted_ok):
             if sorted_ok:
                 hi_i = int(np.searchsorted(p_arr, stop))
-                sel = np.nonzero(e_arr[:hi_i] > start)[0]
-            else:
-                sel = np.nonzero((p_arr < stop) & (e_arr > start))[0]
+                return np.nonzero(e_arr[:hi_i] > start)[0]
+            return np.nonzero((p_arr < stop) & (e_arr > start))[0]
+
+        def overlapping(p_arr, e_arr, items, start, stop, sorted_ok):
+            sel = overlapping_sel(p_arr, e_arr, start, stop, sorted_ok)
             return [items[i] for i in sel], sel
 
         lo = int(pos_arr.min())
@@ -507,16 +607,22 @@ class HaplotypeCaller:
                 # don't form (and then discard) regions beyond the -L span:
                 # emission is clamped to the core span anyway
                 win_end = min(win_end, span[2] + pad)
-            win_reads, win_sel = overlapping(pos_arr, end_arr, reads,
-                                             win_start, win_end, pos_sorted)
-            if not win_reads:
+            win_sel = overlapping_sel(pos_arr, end_arr, win_start, win_end,
+                                      pos_sorted)
+            if win_sel.size == 0:
                 continue
+            if is_cols:
+                win_items = reads.select(win_sel)
+                win_pool_bytes = (win_items.region_pool_bytes()
+                                  if combiner is not None else None)
+            else:
+                win_items = [reads[i] for i in win_sel]
             win_pos = pos_arr[win_sel]
             win_ends = end_arr[win_sel]
             mask = (self.bed.mask(contig, win_start, win_end, padded=True)
                     if self.bed else None)
             regions = activity.find_active_regions(
-                win_reads, ref, contig, win_start, win_end,
+                win_items, ref, contig, win_start, win_end,
                 emit_inactive=emit_inactive, target_mask=mask)
             # prepare all regions of the window, score them in batched
             # device passes spanning windows, then genotype (scheduler.py)
@@ -532,13 +638,19 @@ class HaplotypeCaller:
                 self.stats["regions"] += 1
                 pad_s = max(0, region.start - C.REGION_PADDING)
                 pad_e = min(contig_len, region.end + 1 + C.REGION_PADDING)
-                region_reads, _ = overlapping(win_pos, win_ends, win_reads,
-                                              pad_s, pad_e, pos_sorted)
+                sel = overlapping_sel(win_pos, win_ends, pad_s, pad_e,
+                                      pos_sorted)
                 key = (region.start, region.end)
                 ordered.append(key)
-                rbytes[key] = (sum(RegionBatchSim.read_bytes(r)
-                                   for r in region_reads)
-                               if combiner is not None else 0)
+                if is_cols:
+                    rbytes[key] = (int(win_pool_bytes[sel].sum())
+                                   if combiner is not None else 0)
+                    region_reads = ("cols", win_items, sel)
+                else:
+                    region_reads = [win_items[i] for i in sel]
+                    rbytes[key] = (sum(RegionBatchSim.read_bytes(r)
+                                       for r in region_reads)
+                                   if combiner is not None else 0)
                 rw = RefWindow.of(ref, max(0, pad_s - 700),
                                   min(contig_len - 1, pad_e + 700))
                 tasks.append((key, region, region_reads, rw, contig))

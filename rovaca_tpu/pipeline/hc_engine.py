@@ -83,6 +83,14 @@ class RegionCaller:
         pad_start = max(0, region.start - cfg.region_padding)
         pad_stop = min(contig_len - 1, region.end + cfg.region_padding)
 
+        # columnar payload from the ingestion slabs (io/bamcols.py):
+        # ("cols", BamColumns, row-indices). Inactive GVCF regions feed the
+        # packed native path with slab gathers; only active regions (and
+        # fallbacks) materialize ReadRecords.
+        cols_idx = None
+        if isinstance(reads, tuple) and len(reads) == 3 and \
+                reads[0] == "cols":
+            cols_idx = (reads[1], reads[2])
         if not region.is_active:
             if cfg.gvcf_mode:
                 # the reference finalizes reads AND corrects overlapping
@@ -95,20 +103,28 @@ class RegionCaller:
                     from ..native import finalize_native, posobs_native
                     if posobs_native.available():
                         pk = finalize_native.finalize_region_packed(
-                            reads, pad_start, pad_stop)
+                            None if cols_idx is not None else reads,
+                            pad_start, pad_stop, cols_idx=cols_idx)
                         if pk is not None:
                             return self._reference_confidence_only(
                                 region, pk, ref, contig,
                                 (pad_start, pad_stop))
+                if cols_idx is not None:
+                    reads = cols_idx[0].materialize(cols_idx[1])
                 fin = assembler.finalize_and_adjust(reads, pad_start,
                                                     pad_stop)
                 return self._reference_confidence_only(
                     region, fin, ref, contig, (pad_start, pad_stop))
             return []
 
+        packed = None
+        if cols_idx is not None:
+            packed = cols_idx[0].pack(cols_idx[1])
+            reads = cols_idx[0].materialize(cols_idx[1])
         window = bytes(ref[pad_start:pad_stop + 1])
         fused = assembler.prepare_region_native(reads, pad_start, pad_stop,
-                                                window, pad_start)
+                                                window, pad_start,
+                                                packed=packed)
         if fused is not None:
             fin, haplotypes = fused
         else:

@@ -25,6 +25,7 @@ import numpy as np
 
 from .. import constants as C
 from ..genotype.variant import Allele, Genotype, NON_REF, Variant
+from ..ops import gatk_math
 from ..reads.cigar import CigarOp, CONSUMES_QUERY, CONSUMES_REF
 from .activity import genotype_cache
 
@@ -68,8 +69,10 @@ def _indel_gl_table(ploidy=2, max_n=C.MAX_N_INDEL_INFORMATIVE_READS):
         for g in range(1, ploidy + 1):
             a = no_indel + math.log10(ploidy - g) if g < ploidy else -np.inf
             b = indel + math.log10(g)
-            m = max(a, b)
-            s = m + math.log10(10.0 ** (a - m) + 10.0 ** (b - m))
+            # quantized Jacobian-table sum, exactly as the reference builds
+            # this cache (genotype_likelihoods_cache.cpp:63-66 →
+            # math_utils.cpp:280-291)
+            s = float(gatk_math.approximate_log10_sum_log10(a, b))
             table[n, g] = n * (s - math.log10(ploidy))
     return table
 
@@ -444,11 +447,18 @@ def reference_confidence_records(obs, ref, contig, start, calls_by_pos,
     # partial products in the same positions) and avoids materializing
     # the (2, L, 64) float array per region (same trick as
     # activity._masked_genotype_cache)
-    counts = obs.hist[:, :, BASE_QUAL_THRESHOLD + 1:].sum(
-        axis=(0, 2), dtype=np.int64).astype(np.float64)   # (L,)
-    # note cache status 0 = variant evidence == our hist status 0 ✓
-    gl = np.einsum("spq,sqg->pg", obs.hist, cache)  # (L, G)
-    gl -= counts[:, None] * math.log10(ploidy)
+    from ..native import activity_native
+    ng = activity_native.pileup_gls(obs.hist, cache, BASE_QUAL_THRESHOLD,
+                                    ploidy)
+    if ng is not None:
+        gl, icounts = ng
+        counts = icounts.astype(np.float64)
+    else:
+        counts = obs.hist[:, :, BASE_QUAL_THRESHOLD + 1:].sum(
+            axis=(0, 2), dtype=np.int64).astype(np.float64)   # (L,)
+        # note cache status 0 = variant evidence == our hist status 0 ✓
+        gl = np.einsum("spq,sqg->pg", obs.hist, cache)  # (L, G)
+        gl -= counts[:, None] * math.log10(ploidy)
     # cap alt GLs by hom-ref GL (get_genotype_likelihoods_capped_...)
     snp_gls = np.minimum(gl, gl[:, 0:1])
     snp_gls[:, 0] = gl[:, 0]
