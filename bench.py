@@ -67,6 +67,46 @@ def measure_reference_engine_baseline():
     return None
 
 
+def measure_reference_2thread_point():
+    """Aggregate Gcells/s of TWO concurrent reference-engine harness
+    processes — one real multi-thread anchor for the linear-scaling
+    assumption (round-5 ask #8). Returns {"sum_gcups", "scaling_vs_2x"}
+    or None. On this 2-vCPU host perfect scaling would be 2.0x the
+    single-run figure; the measured ratio bounds how optimistic the
+    30-thread linear proxy is."""
+    harness = os.path.join(_HERE, ".refbuild", "bin", "pairhmm_harness")
+    cases = os.path.join(_HERE, "tests", "golden", "pairhmm_cases.txt")
+    if not (os.path.exists(harness) and os.path.exists(cases)):
+        return None
+    try:
+        # single-run reference point
+        r = subprocess.run(
+            [harness, cases, "/tmp/rovaca_bench_ref_s.txt", "3", "20"],
+            capture_output=True, text=True, timeout=560, check=True)
+        single = None
+        for line in r.stderr.splitlines():
+            if line.startswith("BENCH"):
+                single = float(line.rsplit("gcups=", 1)[1])
+        if not single:
+            return None
+        procs = [subprocess.Popen(
+            [harness, cases, "/tmp/rovaca_bench_ref_%d.txt" % i, "3", "20"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True)
+            for i in range(2)]
+        total = 0.0
+        for p in procs:
+            _, err = p.communicate(timeout=560)
+            if p.returncode != 0:
+                return None
+            for line in err.splitlines():
+                if line.startswith("BENCH"):
+                    total += float(line.rsplit("gcups=", 1)[1])
+        return {"sum_gcups": round(total, 3),
+                "scaling_vs_2x": round(total / (2 * single), 3)}
+    except Exception:
+        return None
+
+
 def measure_avx_baseline(lr=128, lh=384):
     """Per-core AVX512 Gcells/s x BASELINE_THREADS, or None."""
     src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -158,13 +198,26 @@ def main():
         "value": round(gcups * 1e9),
         "unit": "cells/s",
         "vs_baseline": vs if vs is not None else 1.0,
+        # honest-proxy caveat: the baseline is measured SINGLE-CORE
+        # reference-engine throughput multiplied by the reference's default
+        # 30 worker threads (rovaca_tool_args.h:138), ASSUMING linear
+        # thread scaling. Real sockets scale PairHMM sublinearly (memory
+        # bandwidth, turbo), so the true socket figure is likely lower and
+        # vs_baseline understates our margin.
+        "baseline_model": "per-core x %d threads, linearity assumed"
+                          % BASELINE_THREADS,
     }
+    two = measure_reference_2thread_point()
+    if two is not None:
+        out["baseline_2thread_measured"] = two
     # e2e race context (recorded by scripts/race_e2e.py against the
-    # reference binary built from source; see RACE_r04.json / GOLDEN.md).
+    # reference binary built from source; see RACE_r05.json / GOLDEN.md).
     # The recording's commit + mtime are embedded so consumers can tell
     # recorded context from live measurement.
     repo = os.path.dirname(os.path.abspath(__file__))
-    race_path = os.path.join(repo, "RACE_r04.json")
+    race_path = os.path.join(repo, "RACE_r05.json")
+    if not os.path.exists(race_path):
+        race_path = os.path.join(repo, "RACE_r04.json")
     try:
         with open(race_path) as f:
             race = json.load(f)["contenders"]

@@ -545,7 +545,13 @@ class ReadThreadingGraph:
                     or elems[0][0] != CigarOp.M:
                 continue
             max_index = min(elems[0][1], len(ref_seq), len(alt_seq))
-            max_mismatches = max(1, len(path) // self.k)
+            # the reference's budget divides the PREFIX LENGTH CONSIDERED
+            # (maxIndex = first cigar element length), not the dangling
+            # branch's vertex count — get_max_mismatches_legacy is called
+            # with maxIndex (hc_assemble_base_graph.c:704-707,829); using
+            # len(path) under-budgets long prefixes and loses recoveries
+            # (round-5 fresh-seed divergence, chr20:250486 @ seed 31337)
+            max_mismatches = max(1, max_index // self.k)
             mismatches = 0
             last_good = -1
             for idx in range(max_index):

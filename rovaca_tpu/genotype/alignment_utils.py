@@ -216,7 +216,36 @@ def realign_read_to_haplotype(read, hap, h2r=None, sw_result=None,
     vq = np.nonzero(valid)[0]
     if vq.size == 0:
         return read
-    new_pos = int(ref_pos[vq[0]])
+    # start via read_start_on_reference_haplotype (alignment_utils.cpp:
+    # 189-212): count ref bases consumed by the hap->ref cigar BEFORE the
+    # element containing the SW offset, with a <=-boundary rule. When the
+    # offset lands exactly on an M|D boundary this lands BEFORE the
+    # deletion — the reference's trim + CigarBuilder then silently drop
+    # the leading D without compensating the start (trim_cigar,
+    # alignment_utils.cpp:242-278 make_and_record_deletions_removed), so
+    # such reads sit `dlen` left of their per-base ref positions with a
+    # pure-M cigar. Using the first valid base's position instead loses
+    # those reads from annotation overlap (round-5 seed-424243 SOR/
+    # ReadPosRankSum divergence at chr20:172444).
+    start_rel = None
+    if res.alignment_offset == 0:
+        start_rel = 0
+    else:
+        hap_consumed = 0
+        ref_before = 0
+        for op, length in hap.cigar:
+            in_r = op in CONSUMES_REF
+            if in_r:
+                ref_before += length
+            if op in CONSUMES_QUERY:
+                hap_consumed += length
+            if hap_consumed >= res.alignment_offset:
+                excess = (hap_consumed - res.alignment_offset) if in_r \
+                    else 0
+                start_rel = ref_before - excess
+                break
+    new_pos = (hap.window_start + start_rel if start_rel is not None
+               else int(ref_pos[vq[0]]))
 
     # element runs: split wherever the per-base op changes or a deletion
     # must be injected before a valid base (ref gap vs the previous one)

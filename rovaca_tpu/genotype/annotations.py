@@ -36,28 +36,28 @@ def classify_reads(likelihoods):
 # --- FORMAT-level -----------------------------------------------------------
 
 def depth_per_allele(call_alleles, likelihoods):
-    """AD (DepthPerAlleleBySample): informative reads per best allele."""
-    best_idx, informative = classify_reads(likelihoods)
+    """AD (DepthPerAlleleBySample): informative reads per best allele.
+
+    The reference marginalizes the annotation container down to the
+    CALL's alleles first (annotate_with_likelihoods,
+    depth_per_allele_by_sample.h) — best/informativeness are recomputed
+    over the subset, so a read whose overall best is a dropped spanning
+    allele still counts toward its best CALL allele."""
+    sub = likelihoods.subset_to_alleles(call_alleles)
+    best_idx, informative = classify_reads(sub)
     counts = [0] * len(call_alleles)
-    index_of = {}
-    for i, a in enumerate(likelihoods.alleles):
-        index_of[i] = None
-        for j, ca in enumerate(call_alleles):
-            if a == ca:
-                index_of[i] = j
-                break
-    for r in range(likelihoods.n_reads):
-        if not informative[r]:
-            continue
-        j = index_of.get(int(best_idx[r]))
-        if j is not None:
-            counts[j] += 1
+    for r in range(sub.n_reads):
+        if informative[r]:
+            counts[int(best_idx[r])] += 1
     return counts
 
 
-def depth_per_sample(likelihoods):
-    """DP (DepthPerSampleHC): count of informative reads."""
-    _, informative = classify_reads(likelihoods)
+def depth_per_sample(call_alleles, likelihoods):
+    """DP (DepthPerSampleHC): informative-read count over the container
+    marginalized to the CALL's alleles (depth_per_sample_hc.cpp:31-44) —
+    like AD, not over the full annotation allele set."""
+    sub = likelihoods.subset_to_alleles(call_alleles)
+    _, informative = classify_reads(sub)
     return int(np.sum(informative))
 
 
@@ -73,6 +73,8 @@ def strand_bias_by_sample(call_alleles, likelihoods):
         allele = likelihoods.alleles[a]
         if allele == NON_REF or allele == SPAN_DEL:
             continue
+        if a != ref_index and not any(allele == c for c in call_alleles):
+            continue  # dropped allele: not ref, not one of the call's alts
         alt = 2 if a != ref_index else 0
         rev = 1 if read.is_reverse else 0
         table[alt + rev] += 1
@@ -153,6 +155,11 @@ def _strand_table(variant, likelihoods, min_count=0):
         a = int(best_idx[r])
         allele = likelihoods.alleles[a]
         if allele == NON_REF or allele == SPAN_DEL:
+            continue
+        # update_table (strand_bias_test.cpp:85-96): a best allele must be
+        # the ref or one of THIS VARIANT's alts to count — the annotation
+        # container can hold alleles the call dropped
+        if a != 0 and not variant.has_allele(allele):
             continue
         row = 0 if a == 0 else 1
         col = 1 if read.is_reverse else 0
@@ -552,7 +559,7 @@ def annotate_variant(variant, likelihoods, gvcf_mode=False):
 
     for g in variant.genotypes:
         g.ad = depth_per_allele(variant.alleles, likelihoods)
-        g.dp = depth_per_sample(likelihoods)
+        g.dp = depth_per_sample(variant.alleles, likelihoods)
         if gvcf_mode:
             g.attributes["SB"] = strand_bias_by_sample(variant.alleles,
                                                        likelihoods)

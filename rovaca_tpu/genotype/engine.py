@@ -161,16 +161,17 @@ class GermlineGenotypingEngine:
         overlapping_filtered_reads + add_evidence,
         germline_genotying_engine.cpp:606-663,
         allele_likelihoods.hpp:328-344)."""
-        keep = []
-        for a in call.alleles:
-            try:
-                keep.append(ra_lik.index_of(a))
-            except ValueError:
-                keep.append(None)
-        rows = [ra_lik.matrix[i] if i is not None
-                else np.full(ra_lik.n_reads, -np.inf) for i in keep]
+        # the reference KEEPS the full allele set (incl. spanning '*') in
+        # the annotation container — reads whose best allele is a dropped
+        # spanning deletion stay out of the SOR/FS/rank-sum pools instead
+        # of being reassigned to a call allele; only the NON_REF row is
+        # refreshed when the call dropped alleles. Per-allele subsetting
+        # happens inside AD (round-5 seed-424243 SOR/ReadPosRankSum
+        # divergence at chr20:172444).
+        if len(call.alleles) != ra_lik.n_alleles:
+            ra_lik.update_non_ref_likelihoods(call.alleles)
         reads = list(ra_lik.reads)
-        matrix = np.array(rows) if rows else ra_lik.matrix[:0]
+        matrix = ra_lik.matrix
         extra = [r for r in filtered_reads
                  if overlap_start is None
                  or r.overlaps(overlap_start, overlap_stop + 1)]
@@ -179,7 +180,7 @@ class GermlineGenotypingEngine:
                 [matrix, np.zeros((matrix.shape[0], len(extra)))], axis=1)
             reads += extra
         from .likelihoods import AlleleLikelihoods
-        return AlleleLikelihoods(list(call.alleles), reads, matrix)
+        return AlleleLikelihoods(list(ra_lik.alleles), reads, matrix)
 
     # ------------------------------------------------------------------
     def calculate_genotypes(self, vc):

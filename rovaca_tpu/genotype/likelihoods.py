@@ -92,6 +92,50 @@ class AlleleLikelihoods:
         self.alleles = list(self.alleles) + [NON_REF]
         self.matrix = np.vstack([m, non_ref[None, :]])
 
+    def update_non_ref_likelihoods(self, alleles_to_consider):
+        """Refresh the NON_REF row considering only `alleles_to_consider`
+        (update_non_ref_allele_likelihoods(AlleleListPtr),
+        allele_likelihoods.hpp:278-318): per read, NON_REF = median of
+        the CONSIDERED concrete-allele likelihoods strictly below the
+        read's best; fallback best (>=2 concrete alleles) else NaN.
+        No-op when the container has no NON_REF allele (VCF mode)."""
+        nr = next((i for i, a in enumerate(self.alleles) if a == NON_REF),
+                  None)
+        if nr is None or self.n_reads == 0:
+            return
+        m = self.matrix
+        consider = np.array(
+            [i for i, a in enumerate(self.alleles)
+             if i != nr and any(a == c for c in alleles_to_consider)],
+            dtype=np.int64)
+        n_concrete = self.n_alleles - 1
+        best = np.nanmax(m, axis=0)
+        for r in range(self.n_reads):
+            vals = m[consider, r] if consider.size else np.empty(0)
+            vals = vals[~np.isnan(vals) & (vals < best[r])]
+            if vals.size:
+                m[nr, r] = np.median(vals)
+            elif n_concrete <= 1:
+                m[nr, r] = np.nan
+            else:
+                m[nr, r] = best[r]
+
+    def subset_to_alleles(self, call_alleles):
+        """New container whose rows are the call's alleles, each mapped to
+        its own likelihood row (the marginalize inside AD's
+        annotate_with_likelihoods, depth_per_allele_by_sample.h) — drops
+        non-call alleles (e.g. spanning '*') so best/informativeness are
+        recomputed over the subset."""
+        rows = []
+        for a in call_alleles:
+            i = next((j for j, b in enumerate(self.alleles) if b == a),
+                     None)
+            rows.append(self.matrix[i] if i is not None
+                        else np.full(self.n_reads, -np.inf))
+        return AlleleLikelihoods(list(call_alleles), list(self.reads),
+                                 np.array(rows) if rows
+                                 else self.matrix[:0])
+
     def best_allele_per_read(self):
         """(best_index, best_lik, second_lik, informative) per read
         (best_alleles_breaking_ties, allele_likelihoods.hpp:346-379);

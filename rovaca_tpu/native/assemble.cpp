@@ -620,8 +620,10 @@ struct RTGraph {
             int64_t max_index =
                 std::min<int64_t>(elems[0].len,
                                   std::min(ref_seq.size(), alt_seq.size()));
-            int64_t max_mismatches =
-                std::max<int64_t>(1, (int64_t)path.size() / k);
+            // budget divides the prefix length considered (maxIndex),
+            // not the branch vertex count (hc_assemble_base_graph.c:
+            // 704-707,829) -- see assembly/graph.py recover_dangling_heads
+            int64_t max_mismatches = std::max<int64_t>(1, max_index / k);
             int64_t mismatches = 0;
             int64_t last_good = -1;
             for (int64_t idx = 0; idx < max_index; idx++) {

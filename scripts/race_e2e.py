@@ -1,9 +1,11 @@
 """End-to-end race: reference binary vs ours (TPU default / host CPU).
 
-Runs each contender sequentially on the same error-model corpus (never two
-heavy drives at once on this 2-core host), emits RACE.json with wall-clock,
-reads/s, and a field-level diff result for each of our outputs vs the
-reference's.
+MEASUREMENT PROTOCOL (round-5): every contender runs N times (default 5),
+INTERLEAVED round-robin so that slow drift of this shared 2-vCPU VM hits
+all contenders equally; the headline number is the per-contender MEDIAN
+wall with the full run array recorded. Runs are strictly sequential (never
+two heavy drives at once on this 2-core host). Output equivalence is
+diffed once, field-level, against the reference binary's output.
 
 Note on the sharded contender: reservoir downsampling consumes a Java-LCG
 stream in traversal order (reference: src/common/downsampler_hc.h:94-210),
@@ -14,6 +16,7 @@ depth/qual fields at saturated pileups is this known semantic, not a bug
 (the unsharded contenders must MATCH).
 
 Usage: python scripts/race_e2e.py <outdir> [genome_len] [coverage] [seed]
+                                  [n_runs]
 """
 
 import json
@@ -111,96 +114,128 @@ def _run(cmd, env=None, tag=""):
     return dt
 
 
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def _contenders(outdir, bam, fa):
+    """name -> (cmd, env) for every contender. ours-CPU contenders strip
+    the TPU tunnel plugin so interpreter-start jax import is avoided."""
+    base_env = dict(os.environ)
+    base_env["JAX_COMPILATION_CACHE_DIR"] = os.path.expanduser(
+        "~/.cache/rovaca_jax")
+    base_env["ROVACA_NATIVE_THREADS"] = "2"
+
+    ref_env = dict(os.environ)
+    ref_env["LD_LIBRARY_PATH"] = os.path.dirname(REF_BIN)
+
+    def ours(name, platforms=None, shards=0, gvcf=False, workers=1,
+             extra_env=()):
+        env = dict(base_env)
+        if platforms:
+            env["JAX_PLATFORMS"] = platforms
+            if platforms == "cpu":
+                env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.update(dict(extra_env))
+        out = os.path.join(outdir, f"{name}.vcf")
+        cmd = [sys.executable, "-m", "rovaca_tpu.cli", "HaplotypeCaller",
+               "-i", bam, "-r", fa, "-o", out, "--pairhmm-engine", "auto"]
+        if gvcf:
+            cmd += ["--emit-ref-confidence", "GVCF"]
+        if shards:
+            cmd += ["--shards", str(shards)]
+            env["ROVACA_NATIVE_THREADS"] = "1"
+        if workers > 1:
+            cmd += ["-t", str(workers)]
+            env["ROVACA_NATIVE_THREADS"] = "1"
+        return name, cmd, env, gvcf, shards
+
+    return [
+        ("reference_avx",
+         [REF_BIN, "HaplotypeCaller", "-I", bam, "-R", fa,
+          "-O", os.path.join(outdir, "ref.vcf"), "--nthreads", "2"],
+         ref_env, False, 0),
+        ("reference_avx_gvcf",
+         [REF_BIN, "HaplotypeCaller", "-I", bam, "-R", fa,
+          "-O", os.path.join(outdir, "ref.g.vcf"),
+          "--emit-ref-confidence", "GVCF", "--nthreads", "2"],
+         ref_env, True, 0),
+        ours("ours_tpu"),
+        ours("ours_tpu_banded",
+             extra_env=(("ROVACA_BANDED_REALIGN", "1"),)),
+        ours("ours_cpu", platforms="cpu"),
+        ours("ours_cpu_gvcf", platforms="cpu", gvcf=True),
+        ours("ours_tpu_gvcf", gvcf=True),
+        ours("ours_cpu_2shard", platforms="cpu", shards=2),
+        ours("ours_cpu_workers2", platforms="cpu", workers=2),
+    ]
+
+
 def main():
     outdir = sys.argv[1]
     genome_len = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     coverage = int(sys.argv[3]) if len(sys.argv) > 3 else 30
     seed = int(sys.argv[4]) if len(sys.argv) > 4 else 424242
+    n_runs = int(sys.argv[5]) if len(sys.argv) > 5 else 5
 
     ge = os.path.join(REPO, "scripts", "golden_e2e.py")
     bam = os.path.join(outdir, "sample.bam")
+    fa = os.path.join(outdir, "ref.fa")
     if not os.path.exists(bam):
         _run([sys.executable, ge, "gen", outdir, str(genome_len),
               str(coverage), str(seed)], tag="gen")
-    # count reads once (header-less line count via our BAM reader)
     from rovaca_tpu.io.bam import BamReader
     n_reads = sum(1 for _ in BamReader(bam))
 
-    results = {"genome_len": genome_len, "coverage": coverage, "seed": seed,
-               "n_reads": n_reads, "contenders": {}}
+    # drop any stale auto-probe verdict: the engine choice must reflect
+    # THIS build's host-vs-device balance (first ours_tpu run re-probes
+    # and re-persists; later rounds reuse the fresh verdict)
+    probe_cache = os.path.expanduser("~/.cache/rovaca_jax/engine_probe.json")
+    if os.path.exists(probe_cache):
+        os.remove(probe_cache)
 
-    # 1. reference binary (2 threads = all cores), VCF + GVCF modes
-    env = dict(os.environ)
-    env["LD_LIBRARY_PATH"] = os.path.dirname(REF_BIN)
-    dt = _run([REF_BIN, "HaplotypeCaller", "-I", bam,
-               "-R", os.path.join(outdir, "ref.fa"),
-               "-O", os.path.join(outdir, "ref.vcf"),
-               "--nthreads", "2"], env=env, tag="reference")
-    results["contenders"]["reference_avx"] = {
-        "wall_s": round(dt, 2), "reads_per_s": round(n_reads / dt)}
-    print(f"reference: {dt:.2f}s", flush=True)
-    dt = _run([REF_BIN, "HaplotypeCaller", "-I", bam,
-               "-R", os.path.join(outdir, "ref.fa"),
-               "-O", os.path.join(outdir, "ref.g.vcf"),
-               "--emit-ref-confidence", "GVCF",
-               "--nthreads", "2"], env=env, tag="reference_gvcf")
-    results["contenders"]["reference_avx_gvcf"] = {
-        "wall_s": round(dt, 2), "reads_per_s": round(n_reads / dt)}
-    print(f"reference gvcf: {dt:.2f}s", flush=True)
+    contenders = _contenders(outdir, bam, fa)
+    walls = {name: [] for name, *_ in contenders}
 
-    # 2. ours, default TPU path (warm persistent cache assumed; the race is
-    #    steady-state throughput, not first-ever-machine compile time)
-    env = dict(os.environ)
-    env["JAX_COMPILATION_CACHE_DIR"] = os.path.expanduser(
-        "~/.cache/rovaca_jax")
-    env["ROVACA_NATIVE_THREADS"] = "2"
-    # ours_cpu: auto resolves to the native host SIMD engine (the
-    # reference-parity CPU engine slot); ours_cpu_2shard races the
-    # reference's 2 threads with 2 interval-shard processes.
-    for name, engine, platforms, shards, gvcf in (
-            ("ours_tpu", "auto", None, 0, False),
-            ("ours_cpu", "auto", "cpu", 0, False),
-            ("ours_cpu_gvcf", "auto", "cpu", 0, True),
-            ("ours_cpu_2shard", "auto", "cpu", 2, False)):
-        env2 = dict(env)
-        if platforms:
-            env2["JAX_PLATFORMS"] = platforms
-            if platforms == "cpu":
-                # pure-CPU contenders skip the TPU tunnel plugin (and its
-                # interpreter-start jax import) entirely
-                env2.pop("PALLAS_AXON_POOL_IPS", None)
-        out = os.path.join(outdir, f"{name}.vcf")
-        cmd = [sys.executable, "-m", "rovaca_tpu.cli",
-               "HaplotypeCaller", "-i", bam,
-               "-r", os.path.join(outdir, "ref.fa"),
-               "-o", out, "--pairhmm-engine", engine]
-        if gvcf:
-            cmd += ["--emit-ref-confidence", "GVCF"]
-        if shards:
-            cmd += ["--shards", str(shards)]
-            env2["ROVACA_NATIVE_THREADS"] = "1"
-        dt = _run(cmd, env=env2, tag=name)
+    # interleaved rounds: VM drift hits every contender equally
+    for rnd in range(n_runs):
+        for name, cmd, env, _gvcf, _shards in contenders:
+            dt = _run(cmd, env=env, tag=name)
+            walls[name].append(round(dt, 2))
+            print(f"[round {rnd + 1}/{n_runs}] {name}: {dt:.2f}s",
+                  flush=True)
+
+    results = {"genome_len": genome_len, "coverage": coverage,
+               "seed": seed, "n_reads": n_reads, "n_runs": n_runs,
+               "protocol": "interleaved round-robin, median-of-N walls",
+               "contenders": {}}
+    for name, cmd, env, gvcf, shards in contenders:
+        med = _median(walls[name])
         results["contenders"][name] = {
-            "wall_s": round(dt, 2), "reads_per_s": round(n_reads / dt)}
-        print(f"{name}: {dt:.2f}s", flush=True)
-        # field-level diff vs the reference output (golden_e2e reads the
-        # fixed ours[.g].vcf name)
-        import shutil
+            "wall_s": round(med, 2),
+            "runs_s": walls[name],
+            "spread_s": [min(walls[name]), max(walls[name])],
+            "reads_per_s": round(n_reads / med)}
+
+    # output equivalence: diff each of ours vs the reference output once
+    import shutil
+    for name, cmd, env, gvcf, shards in contenders:
+        if name.startswith("reference"):
+            continue
+        out = os.path.join(outdir, f"{name}.vcf")
         shutil.copyfile(out, os.path.join(
             outdir, "ours.g.vcf" if gvcf else "ours.vcf"))
         cp = subprocess.run(
-            [sys.executable, ge, "diff", outdir] + (["--gvcf"] if gvcf
-                                                    else []),
-            capture_output=True, text=True)
+            [sys.executable, ge, "diff", outdir]
+            + (["--gvcf"] if gvcf else []), capture_output=True, text=True)
         tail = cp.stdout.strip().splitlines()
         results["contenders"][name]["diff_vs_ref"] = (
             tail[-1] if tail else f"diff rc={cp.returncode}")
         if shards:
-            # the sharded run may only diverge from the unsharded one at
-            # >max-depth reservoir pileups (traversal-split LCG stream)
             ok, detail = depth_masked_diff(
-                os.path.join(outdir, "ours_cpu.vcf"), out,
-                bam_path=os.path.join(outdir, "sample.bam"))
+                os.path.join(outdir, "ours_cpu.vcf"), out, bam_path=bam)
             results["contenders"][name]["diff_vs_unsharded"] = detail
             if not ok:
                 print(f"WARNING {name}: {detail}", flush=True)

@@ -78,11 +78,37 @@ def main():
         print(f"shards={s}: {dt:.1f}s  {n_reads/dt:.0f} reads/s"
               f"  identical={ident}", flush=True)
 
+    # startup/compute decomposition (round-5 ask #7): measure the fixed
+    # per-process startup cost S directly with a near-empty -L span, then
+    # model wall(P) = S + W / min(P, ncpu) and report the residual at each
+    # rank count, so the efficiency number rests on a model rather than a
+    # single run pair. (Oversubscribed ranks, P > ncpu, bound the model:
+    # compute can't beat ncpu-way.)
+    t0 = time.perf_counter()
+    cp = subprocess.run(
+        [sys.executable, "-m", "rovaca_tpu.cli", "HaplotypeCaller",
+         "-i", bam, "-r", ref,
+         "-o", os.path.join(outdir, "scale_startup.vcf"),
+         "-L", "chr20:1-2000", "--pairhmm-engine", "auto"],
+        env=env, capture_output=True, text=True, timeout=600)
+    startup_s = round(time.perf_counter() - t0, 2)
+    results["startup_probe_s"] = (startup_s if cp.returncode == 0
+                                  else None)
+
     one = results["runs"].get("1")
     if one:
+        ncpu = os.cpu_count() or 2
+        w1 = one["wall_s"] - (startup_s or 0)
         for s, r in results["runs"].items():
             r["efficiency_vs_1"] = round(
                 one["wall_s"] / (r["wall_s"] * int(s)), 3)
+            p_eff = min(int(s), ncpu)
+            model = (startup_s or 0) + w1 / p_eff
+            r["model_wall_s"] = round(model, 2)
+            r["model_residual_pct"] = round(
+                100.0 * (r["wall_s"] - model) / model, 1)
+        results["model"] = ("wall(P) = startup + W/min(P,ncpu); "
+                            "startup measured via near-empty -L run")
     path = os.path.join(outdir, "SCALING.json")
     with open(path, "w") as f:
         json.dump(results, f, indent=1)
