@@ -331,11 +331,37 @@ def realign_reads_to_their_best_haplotype(likelihoods):
                     if getattr(h, "is_ref", False)), 0)
     maps = {}
     best_haps = []
+    # near-tie priority reselection (search_best_allele with priorities,
+    # allele_likelihoods.hpp:524-573 + realign's lambda,
+    # assembly_based_caller_utils.cpp:150-156): when best - second < 0.2,
+    # the best hap is re-picked among every hap within 0.2 of the best by
+    # priority = is_ref + (1 - n_cigar_elements) — the ref haplotype wins
+    # ties, then the simplest cigar. Plain argmax picked a deletion hap
+    # over an equal-likelihood SNP hap and shifted the realigned start
+    # (round-5 adversarial corpus, chr21:122428).
+    from ..genotype.likelihoods import INFORMATIVE_THRESHOLD
+    prio = np.array([(1.0 if getattr(h, "is_ref", False) else 0.0)
+                     + (1.0 - len(h.cigar.elements)) for h in haps])
     for r, read in enumerate(likelihoods.reads):
         col = m[:, r]
-        best = int(np.argmax(col))
-        if col[ref_idx] == col[best]:
-            best = ref_idx
+        best = 0
+        best_lik = col[0]
+        second_lik = -np.inf
+        for a in range(1, len(haps)):
+            if col[a] > best_lik:
+                second_lik = best_lik
+                best = a
+                best_lik = col[a]
+            elif col[a] > second_lik:
+                second_lik = col[a]
+        if best_lik - second_lik < INFORMATIVE_THRESHOLD:
+            best_priority = prio[best]
+            for a in range(len(haps)):
+                if a == best or best_lik - col[a] > INFORMATIVE_THRESHOLD:
+                    continue
+                if prio[a] > best_priority:
+                    best = a
+                    best_priority = prio[a]
         hap = haps[best]
         if id(hap) not in maps:
             maps[id(hap)] = hap_to_ref_map(hap)

@@ -15,26 +15,65 @@ from ..ops import gatk_math
 from . import genotype_alleles as ga
 
 
+def _approx_sum_seq(values):
+    """Sequential max-anchored Jacobian-table sum over a small vector
+    (MathUtils::approximate_log10sum_log10(values, begin, end),
+    math_utils.cpp:245-263): start at the max element, then fold every
+    other element into the RUNNING sum in index order via the quantized
+    table. Order-dependent by design."""
+    import math
+    mi = int(np.argmax(values))
+    approx = float(values[mi])
+    tbl = gatk_math.jacobian_log_table()
+    for i, v in enumerate(values):
+        v = float(v)
+        if i == mi or v == -math.inf:
+            continue
+        diff = approx - v
+        if diff < gatk_math.MAX_JACOBIAN_TOLERANCE:
+            approx += tbl[int(math.floor(
+                diff * (1.0 / gatk_math.JACOBIAN_LOG_TABLE_STEP) + 0.5))]
+    return approx
+
+
 def genotype_log10_likelihoods(ploidy, lik_matrix):
     """lik_matrix: (n_alleles, n_reads) float64 log10 likelihoods.
 
     Returns (n_genotypes,) float64 log10 GLs in canonical order.
+
+    Bit-exact transcription of the reference's calculator
+    (genotype_likelihood_calculator.cpp:80-141 + .h:126-147):
+    per-(allele,count) component = lik + log10(count); per-read genotype
+    value = the QUANTIZED Jacobian-table log10-sum of its components
+    (exact log-sum-exp lands a few 1e-4 phred away and flips PL rounding
+    — round-5 adversarial STR deletion chr22:79771 GQ 43 vs 42); read
+    sum is sequential; the ploidy denominator is subtracted at the end.
     """
+    import math
     lik = np.asarray(lik_matrix, dtype=np.float64)
     n_alleles, n_reads = lik.shape
-    log10_ploidy = np.log10(ploidy)
+    log10_ploidy = math.log10(ploidy)
     counts = ga.allele_count_maps(ploidy, n_alleles)
+    denominator = n_reads * log10_ploidy
+
+    def seq_sum(per_read):
+        return float(np.cumsum(per_read)[-1]) if n_reads else 0.0
 
     out = np.empty(len(counts))
     for gi, count_pairs in enumerate(counts):
         if len(count_pairs) == 1:
             a, c = count_pairs[0]
-            per_read = lik[a]  # + log10(c) - log10(P) with c == P cancels
-            out[gi] = per_read.sum()
+            per_read = lik[a] + log10_ploidy   # freq == ploidy component
+        elif len(count_pairs) == 2:
+            (a0, c0), (a1, c1) = count_pairs
+            per_read = gatk_math.approximate_log10_sum_log10(
+                lik[a0] + math.log10(c0), lik[a1] + math.log10(c1))
         else:
-            stack = np.stack([lik[a] + np.log10(c) for a, c in count_pairs])
-            per_read = gatk_math.log10_sum_log10(stack, axis=0) - log10_ploidy
-            out[gi] = per_read.sum()
+            comp = np.stack([lik[a] + math.log10(c)
+                             for a, c in count_pairs])
+            per_read = np.array([_approx_sum_seq(comp[:, r])
+                                 for r in range(n_reads)])
+        out[gi] = seq_sum(per_read) - denominator
     return out
 
 

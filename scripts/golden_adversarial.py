@@ -180,6 +180,16 @@ def generate(outdir, seed=20260505):
             reads = simdata.simulate_fragments(
                 rng, ref, hap, contig, n_frags,
                 name_prefix=f"{contig}_{pref}", read_groups=read_groups)
+            # the reference's overlapping-pair qname cache compares names
+            # with the assembly graph's fixed-width kmer equality
+            # (hc_assemble_reads.c:146-157) — long shared name prefixes
+            # (as real sequencers emit) collide it into an exit(-1).
+            # Keep names early-diverging: unique fragment id FIRST.
+            rename = {}
+            for r in reads:
+                if r.name not in rename:
+                    rename[r.name] = f"f{len(rename)}c{ci}{pref}"
+                r.name = rename[r.name]
             for r in reads:
                 r.ref_id = ci
                 # mate stays on the same contig
