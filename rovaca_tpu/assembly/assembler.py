@@ -74,7 +74,7 @@ def sequences_for_assembly(read, kmer_size):
 
 
 def prepare_region_native(reads, span_start, span_end, ref_window,
-                          window_start, packed=None):
+                          window_start, packed=None, src_cols=None):
     """Fused native finalize + overlap-adjust + assembly (one C call, no
     Python round-trip between stages). Returns (finalized_reads,
     haplotypes) or None when unavailable (caller uses the split path)."""
@@ -90,7 +90,7 @@ def prepare_region_native(reads, span_start, span_end, ref_window,
     out = prepare_native.prepare_region(
         reads, span_start, span_end, ref_window, C.ASSEMBLY_KMER_SIZES,
         C.ASSEMBLY_KMER_STEP, C.ASSEMBLY_MAX_KMER_ITERATIONS,
-        packed=packed)
+        packed=packed, src_cols=src_cols)
     if out is None:
         return None
     fin, results = out

@@ -147,34 +147,70 @@ class BamColumns:
                 np.ascontiguousarray(self.hard_r[idx]), total)
 
     def materialize(self, idx):
-        """ReadRecord objects for rows idx (active-region reads only)."""
+        """ReadRecord objects for rows idx (active-region reads only).
+
+        One vectorized gather per ragged payload into compact per-call
+        buffers, then cheap python-level slicing per read — never converts
+        a whole slab (contig slabs are tens of MB; this runs per region)
+        and never touches numpy scalars in the per-read loop."""
         from ..reads.cigar import Cigar, CigarOp
         from ..reads.record import ReadRecord
         from .bam import LazyTags
+        idx = np.asarray(idx, dtype=np.int64)
+        n = idx.size
+        if n == 0:
+            return []
         ops_tab = tuple(CigarOp)
-        names_b = self.names.tobytes()
-        bases_b = self.bases.tobytes()
-        tags_b = self.tags.tobytes()
-        cops = self.cig_ops.tolist()
-        clens = self.cig_lens.tolist()
+
+        def gather(off_col, len_col, data):
+            ln = len_col[idx].astype(np.int64)
+            buf = data[off_col[idx].repeat(ln) + _ranges(ln)]
+            off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(ln, out=off[1:])
+            return buf, off.tolist()
+
+        names_buf, n_off = gather(self.name_off, self.name_ln, self.names)
+        names_b = names_buf.tobytes()
+        sl = self.seq_ln[idx].astype(np.int64)
+        gi = self.seq_off[idx].repeat(sl) + _ranges(sl)
+        bases_b = self.bases[gi].tobytes()
+        quals_buf = np.ascontiguousarray(self.quals[gi])
+        s_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(sl, out=s_off[1:])
+        s_off = s_off.tolist()
+        tags_buf, t_off = gather(self.tags_off, self.tags_ln, self.tags)
+        tags_b = tags_buf.tobytes()
+        cn = self.cig_n[idx].astype(np.int64)
+        ci = self.cig_off[idx].repeat(cn) + _ranges(cn)
+        cops = list(map(ops_tab.__getitem__, self.cig_ops[ci].tolist()))
+        clens = self.cig_lens[ci].tolist()
+        c_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cn, out=c_off[1:])
+        c_off = c_off.tolist()
+
+        flags = self.flag[idx].tolist()
+        rids = self.ref_id[idx].tolist()
+        poss = self.pos[idx].tolist()
+        mqs = self.mq[idx].tolist()
+        mrids = self.mate_rid[idx].tolist()
+        mposs = self.mate_pos[idx].tolist()
+        tlens = self.tlen[idx].tolist()
+
         out = []
         contig = self.contig
-        for i in (idx.tolist() if hasattr(idx, "tolist") else idx):
-            no, nl = int(self.name_off[i]), int(self.name_ln[i])
-            co, cn = int(self.cig_off[i]), int(self.cig_n[i])
-            so, sl = int(self.seq_off[i]), int(self.seq_ln[i])
-            to, tl = int(self.tags_off[i]), int(self.tags_ln[i])
+        for i in range(n):
             cigar = Cigar.from_raw(
-                [(ops_tab[cops[co + j]], clens[co + j]) for j in range(cn)])
+                list(zip(cops[c_off[i]:c_off[i + 1]],
+                         clens[c_off[i]:c_off[i + 1]])))
             out.append(ReadRecord(
-                name=names_b[no:no + nl].decode(),
-                flag=int(self.flag[i]), ref_id=int(self.ref_id[i]),
-                pos=int(self.pos[i]), mapping_quality=int(self.mq[i]),
-                cigar=cigar, bases=bases_b[so:so + sl],
-                quals=self.quals[so:so + sl],
-                mate_ref_id=int(self.mate_rid[i]),
-                mate_pos=int(self.mate_pos[i]), tlen=int(self.tlen[i]),
-                tags=LazyTags(tags_b[to:to + tl]), contig=contig))
+                name=names_b[n_off[i]:n_off[i + 1]].decode(),
+                flag=flags[i], ref_id=rids[i], pos=poss[i],
+                mapping_quality=mqs[i], cigar=cigar,
+                bases=bases_b[s_off[i]:s_off[i + 1]],
+                quals=quals_buf[s_off[i]:s_off[i + 1]],
+                mate_ref_id=mrids[i], mate_pos=mposs[i], tlen=tlens[i],
+                tags=LazyTags(tags_b[t_off[i]:t_off[i + 1]]),
+                contig=contig))
         return out
 
     def region_pool_bytes(self):

@@ -199,6 +199,13 @@ class VcfWriter:
         self._fh.write("\t".join(row) + "\n")
         self.records_written += 1
 
+    def write_hom_ref_rows(self, rows):
+        """Bulk path for pre-serialized GVCF band rows (block_combiner's
+        vectorized middle segments): one fh.write per span."""
+        if rows:
+            self._fh.write("".join(rows))
+            self.records_written += len(rows)
+
     def write_hom_ref_block(self, contig, start, stop, ref_base, dp, gq,
                             min_dp, pls):
         """Fast path for GVCF hom-ref band rows (the vast majority of

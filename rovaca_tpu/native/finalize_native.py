@@ -94,8 +94,24 @@ def alloc_outputs(n, cig_size, total):
         o_quals=np.empty(seq_cap, dtype=np.uint8))
 
 
-def build_records(reads, n_out, o):
-    """ReadRecords from the native finalized-read output arrays."""
+def _clone_tags(tags):
+    """Copy of a read's tags without forcing a lazy parse: an unforced
+    LazyTags clones from its raw payload; anything else copies eagerly."""
+    from ..io.bam import LazyTags
+    raw = getattr(tags, "_raw", None)
+    if raw is not None:
+        return LazyTags(raw)
+    return dict(tags.items()) if hasattr(tags, "items") else dict(tags)
+
+
+def build_records(reads, n_out, o, src_cols=None):
+    """ReadRecords from the native finalized-read output arrays.
+
+    Source scalars (name/flag/mq/tags/...) come from the `reads` list,
+    or — columnar fast path — straight from BamColumns slab gathers when
+    src_cols=(cols, row_indices) is given (no intermediate source
+    ReadRecord materialization at all)."""
+    from ..io.bam import LazyTags
     from ..reads.cigar import Cigar, CigarOp
     from ..reads.record import ReadRecord
     ops_tab = tuple(CigarOp)           # index lookup beats EnumMeta.__call__
@@ -105,6 +121,52 @@ def build_records(reads, n_out, o):
     o_cops, o_clens = o["o_cops"].tolist(), o["o_clens"].tolist()
     o_soff, o_slen = o["o_soff"].tolist(), o["o_slen"].tolist()
     o_hl, o_hr, o_quals = o["o_hl"].tolist(), o["o_hr"].tolist(), o["o_quals"]
+
+    if src_cols is not None:
+        cols, idx = src_cols
+        rows = np.asarray(idx, dtype=np.int64)[
+            np.asarray(o["o_idx"][:n_out], dtype=np.int64)]
+        nl = cols.name_ln[rows].astype(np.int64)
+        names_b = cols.names[cols.name_off[rows].repeat(nl)
+                             + _ranges(nl)].tobytes()
+        n_off = np.zeros(n_out + 1, dtype=np.int64)
+        np.cumsum(nl, out=n_off[1:])
+        n_off = n_off.tolist()
+        tl = cols.tags_ln[rows].astype(np.int64)
+        tags_b = cols.tags[cols.tags_off[rows].repeat(tl)
+                           + _ranges(tl)].tobytes()
+        t_off = np.zeros(n_out + 1, dtype=np.int64)
+        np.cumsum(tl, out=t_off[1:])
+        t_off = t_off.tolist()
+        flags = cols.flag[rows].tolist()
+        rids = cols.ref_id[rows].tolist()
+        mqs = cols.mq[rows].tolist()
+        mrids = cols.mate_rid[rows].tolist()
+        mposs = cols.mate_pos[rows].tolist()
+        tlens = cols.tlen[rows].tolist()
+        contig = cols.contig
+
+        out = []
+        for i in range(n_out):
+            co, cn = o_coff[i], o_cn[i]
+            cigar = Cigar.from_raw(
+                [(ops_tab[o_cops[co + j]], o_clens[co + j])
+                 for j in range(cn)])
+            so, sl = o_soff[i], o_slen[i]
+            rec = ReadRecord(
+                name=names_b[n_off[i]:n_off[i + 1]].decode(),
+                flag=flags[i], ref_id=rids[i],
+                pos=int(o_pos[i]), mapping_quality=mqs[i],
+                cigar=cigar, bases=base_buf[so:so + sl],
+                quals=o_quals[so:so + sl].copy(),
+                mate_ref_id=mrids[i], mate_pos=mposs[i],
+                tlen=tlens[i], tags=LazyTags(tags_b[t_off[i]:t_off[i + 1]]),
+                contig=contig,
+                hard_left=int(o_hl[i]), hard_right=int(o_hr[i]))
+            rec._quals_private = True
+            out.append(rec)
+        return out
+
     out = []
     for i in range(n_out):
         src = reads[o_idx[i]]
@@ -118,7 +180,7 @@ def build_records(reads, n_out, o):
             cigar=cigar, bases=base_buf[so:so + sl],
             quals=o_quals[so:so + sl].copy(),
             mate_ref_id=src.mate_ref_id, mate_pos=src.mate_pos,
-            tlen=src.tlen, tags=dict(src.tags.items()), contig=src.contig,
+            tlen=src.tlen, tags=_clone_tags(src.tags), contig=src.contig,
             hard_left=int(o_hl[i]), hard_right=int(o_hr[i]))
         rec._quals_private = True
         out.append(rec)

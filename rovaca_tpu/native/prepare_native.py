@@ -38,7 +38,8 @@ def available():
 
 
 def prepare_region(reads, span_start, span_end, ref_window, kmer_sizes,
-                   kmer_step, max_iterations, max_haps=4096, packed=None):
+                   kmer_step, max_iterations, max_haps=4096, packed=None,
+                   src_cols=None):
     """Fused finalize + overlap-adjust + kmer-ladder assembly.
 
     `packed` optionally supplies the pack_reads tuple (ReadColumns.pack).
@@ -47,11 +48,11 @@ def prepare_region(reads, span_start, span_end, ref_window, kmer_sizes,
     lib = _lib()
     if lib is None:
         return None
-    n = len(reads)
-    if n == 0:
-        return [], {}
     if packed is None:
         packed = finalize_native.pack_reads(reads)
+    n = len(packed[2])
+    if n == 0:
+        return [], {}
     (names, name_off, flag, ref_id, pos, tlen, mate_pos, cig_off, cig_n,
      cig_ops, cig_lens, seq_off, seq_len, bases, quals, hard_l, hard_r,
      total) = packed
@@ -93,7 +94,8 @@ def prepare_region(reads, span_start, span_end, ref_window, kmer_sizes,
         hap_kmers.ctypes.data_as(_i32p), max_haps)
     if n_haps < 0:
         return None
-    fin = finalize_native.build_records(reads, int(n_reads_out[0]), o)
+    fin = finalize_native.build_records(reads, int(n_reads_out[0]), o,
+                                        src_cols=src_cols)
     results = {}
     # copy only the filled prefix (hap_cap is >=1MB; n_haps is ~dozens)
     buf = hap_buf[:int(hap_off[n_haps]) if n_haps else 0].tobytes()

@@ -154,7 +154,13 @@ class BlockCombiner:
 
     def submit_span(self, span):
         """Banded block merging over a HomRefSpan's arrays — equivalent to
-        per-position submit() of hom-ref records, without the objects."""
+        per-position submit() of hom-ref records, without the objects.
+
+        Bulk path: all segments strictly inside the span become finished
+        band rows serialized in ONE writer call; only the first segment
+        (may extend the open block) and the last (stays open for the next
+        span) go through HomRefBlock objects. At 1Mb scale this is the
+        GVCF wall-clock hot loop (~270k rows)."""
         L = len(span)
         if L == 0:
             return
@@ -164,8 +170,10 @@ class BlockCombiner:
         cut = np.nonzero(np.diff(band_idx))[0] + 1
         starts = np.concatenate(([0], cut))
         ends = np.concatenate((cut, [L]))
+        n_seg = starts.size
         from ..genotype.variant import Allele
-        for s, e in zip(starts.tolist(), ends.tolist()):
+
+        def open_run(s, e):
             bi = int(band_idx[s])
             lo = int(parts[bi - 1]) if bi > 0 else 0
             hi = int(parts[bi]) if bi < parts.size else 100
@@ -174,15 +182,60 @@ class BlockCombiner:
             dps = span.dp[s:e]
             if (self.block is not None
                     and self.block.accepts_run(span.contig, gstart, lo)):
-                self.block.extend_run(gstart + (e - s) - 1, dps, run_min_pls)
-            else:
-                self._flush_block()
-                ref_allele = Allele(bytes([int(span.ref_bytes[s])]),
-                                    is_ref=True)
-                self.block = HomRefBlock.from_run(
-                    span.contig, gstart, gstart + (e - s) - 1, ref_allele,
-                    span.sample, lo, hi, dps, run_min_pls,
-                    gq=int(span.gq[s]))
+                self.block.extend_run(gstart + (e - s) - 1, dps,
+                                      run_min_pls)
+                return
+            self._flush_block()
+            ref_allele = Allele(bytes([int(span.ref_bytes[s])]),
+                                is_ref=True)
+            self.block = HomRefBlock.from_run(
+                span.contig, gstart, gstart + (e - s) - 1, ref_allele,
+                span.sample, lo, hi, dps, run_min_pls,
+                gq=int(span.gq[s]))
+
+        fast = getattr(self.writer, "write_hom_ref_rows", None)
+        if n_seg <= 2 or fast is None:
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                open_run(s, e)
+            return
+
+        # first segment through the object path (open-block merge)
+        open_run(int(starts[0]), int(ends[0]))
+        self._flush_block()
+
+        # middle segments: vectorized per-segment stats -> bulk rows
+        mid_s, mid_e = starts[1:-1], ends[1:-1]
+        # reduceat's final slice runs to the array end — append the last
+        # segment's start as a sentinel boundary and drop its row
+        seg_pls = np.minimum.reduceat(
+            span.pls, np.concatenate([mid_s, starts[-1:]]), axis=0)[:-1]
+        # GQ from min-PLs: second-smallest minus smallest, capped 99
+        part = np.partition(seg_pls, 1, axis=1)
+        seg_gq = np.minimum(part[:, 1] - part[:, 0], 99)
+        dp_list = span.dp.tolist()
+        ref_list = span.ref_bytes.tolist()
+        pls_list = seg_pls.tolist()
+        gq_list = seg_gq.tolist()
+        s_list, e_list = mid_s.tolist(), mid_e.tolist()
+        rows = []
+        base = span.start
+        contig = span.contig
+        for k in range(len(s_list)):
+            s, e = s_list[k], e_list[k]
+            dps = sorted(dp_list[s:e])
+            n = len(dps)
+            dp = dps[n // 2] if n & 1 else (dps[n // 2]
+                                            + dps[n // 2 - 1] + 1) // 2
+            pls = pls_list[k]
+            rows.append(
+                f"{contig}\t{base + s + 1}\t.\t{chr(ref_list[s])}\t"
+                f"<NON_REF>\t.\t.\tEND={base + e}\tGT:DP:GQ:MIN_DP:PL\t"
+                f"0/0:{dp}:{gq_list[k]}:{dps[0]}:"
+                f"{pls[0]},{pls[1]},{pls[2]}\n")
+        fast(rows)
+
+        # last segment stays open for the next span
+        open_run(int(starts[-1]), int(ends[-1]))
 
     def _flush_block(self):
         if self.block is None:

@@ -118,13 +118,21 @@ class RegionCaller:
             return []
 
         packed = None
-        if cols_idx is not None:
-            packed = cols_idx[0].pack(cols_idx[1])
-            reads = cols_idx[0].materialize(cols_idx[1])
         window = bytes(ref[pad_start:pad_stop + 1])
-        fused = assembler.prepare_region_native(reads, pad_start, pad_stop,
-                                                window, pad_start,
-                                                packed=packed)
+        if cols_idx is not None:
+            # columnar active region: the native fused prepare consumes the
+            # slab-gathered pack and build_records sources names/tags etc.
+            # straight from the slabs — source ReadRecords are materialized
+            # ONLY if the native path is unavailable
+            packed = cols_idx[0].pack(cols_idx[1])
+            fused = assembler.prepare_region_native(
+                None, pad_start, pad_stop, window, pad_start,
+                packed=packed, src_cols=cols_idx)
+            if fused is None:
+                reads = cols_idx[0].materialize(cols_idx[1])
+        else:
+            fused = assembler.prepare_region_native(
+                reads, pad_start, pad_stop, window, pad_start)
         if fused is not None:
             fin, haplotypes = fused
         else:
