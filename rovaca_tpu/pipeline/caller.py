@@ -472,14 +472,20 @@ class HaplotypeCaller:
         if not getattr(self, "_prewarmed", False) and \
                 args.pairhmm_engine in ("auto", "pallas"):
             # compile the canonical device launch shapes in the background
-            # while the host runs activity profiling + assembly below
+            # while the host runs activity profiling + assembly below —
+            # but NOT when a cached auto-probe verdict already pins this
+            # machine to the native engine (the compiles would only steal
+            # host CPU from the pipeline)
             self._prewarmed = True
             from .scheduler import PairHMMScheduler
-            if is_cols:
-                max_len = int(reads.seq_ln[:4096].max())
-            else:
-                max_len = int(max(len(r.bases) for r in reads[:4096]))
-            PairHMMScheduler.prewarm_async(max_len)
+            verdict = (PairHMMScheduler._load_probe_cache()
+                       if args.pairhmm_engine == "auto" else None)
+            if verdict != "native":
+                if is_cols:
+                    max_len = int(reads.seq_ln[:4096].max())
+                else:
+                    max_len = int(max(len(r.bases) for r in reads[:4096]))
+                PairHMMScheduler.prewarm_async(max_len)
 
         def overlapping_sel(p_arr, e_arr, start, stop, sorted_ok):
             if sorted_ok:
