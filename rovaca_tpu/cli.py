@@ -229,7 +229,24 @@ def main(argv=None):
         print(f"unknown tool: {tool}; available: {list(TOOL_REGISTRY)}",
               file=sys.stderr)
         return 2
-    return TOOL_REGISTRY[tool](argv[1:])
+    rc = TOOL_REGISTRY[tool](argv[1:])
+    # Tunnel-attached accelerator sessions can abort in native teardown
+    # when a deadline-abandoned background thread (engine probe / shape
+    # prewarm) still holds pending device work ("terminate called after
+    # throwing ..."). All outputs are flushed and closed by the tools
+    # themselves, so once a run SUCCEEDS on a non-CPU backend we exit
+    # without running interpreter/plugin teardown.
+    if rc in (0, None) and "jax" in sys.modules:
+        try:
+            import jax
+            backend = jax.default_backend()
+        except Exception:
+            backend = "cpu"
+        if backend != "cpu":
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os._exit(0)
+    return rc
 
 
 if __name__ == "__main__":
