@@ -74,10 +74,13 @@ def sequences_for_assembly(read, kmer_size):
 
 
 def prepare_region_native(reads, span_start, span_end, ref_window,
-                          window_start, packed=None, src_cols=None):
+                          window_start, packed=None, src_cols=None,
+                          lazy_records=False):
     """Fused native finalize + overlap-adjust + assembly (one C call, no
     Python round-trip between stages). Returns (finalized_reads,
-    haplotypes) or None when unavailable (caller uses the split path)."""
+    haplotypes) or None when unavailable (caller uses the split path).
+    With lazy_records=True finalized_reads is a memoized thunk (see
+    prepare_native.prepare_region)."""
     import os
     if (os.environ.get("ROVACA_NO_NATIVE_ASSEMBLY")
             or os.environ.get("ROVACA_NO_NATIVE_FINALIZE")):
@@ -90,7 +93,7 @@ def prepare_region_native(reads, span_start, span_end, ref_window,
     out = prepare_native.prepare_region(
         reads, span_start, span_end, ref_window, C.ASSEMBLY_KMER_SIZES,
         C.ASSEMBLY_KMER_STEP, C.ASSEMBLY_MAX_KMER_ITERATIONS,
-        packed=packed, src_cols=src_cols)
+        packed=packed, src_cols=src_cols, lazy_records=lazy_records)
     if out is None:
         return None
     fin, results = out

@@ -39,12 +39,17 @@ def available():
 
 def prepare_region(reads, span_start, span_end, ref_window, kmer_sizes,
                    kmer_step, max_iterations, max_haps=4096, packed=None,
-                   src_cols=None):
+                   src_cols=None, lazy_records=False):
     """Fused finalize + overlap-adjust + kmer-ladder assembly.
 
     `packed` optionally supplies the pack_reads tuple (ReadColumns.pack).
     Returns (finalized_read_records, {seq: (score, kmer)}) or None on
-    unavailability/capacity (caller falls back to the split path)."""
+    unavailability/capacity (caller falls back to the split path).
+
+    With lazy_records=True the first element is a memoized zero-arg
+    callable instead: most VCF-mode active regions trim away before ever
+    touching their finalized reads, so ReadRecord materialization (the
+    dominant Python cost of this path) is deferred until a consumer asks."""
     lib = _lib()
     if lib is None:
         return None
@@ -52,7 +57,7 @@ def prepare_region(reads, span_start, span_end, ref_window, kmer_sizes,
         packed = finalize_native.pack_reads(reads)
     n = len(packed[2])
     if n == 0:
-        return [], {}
+        return ((lambda: []) if lazy_records else []), {}
     (names, name_off, flag, ref_id, pos, tlen, mate_pos, cig_off, cig_n,
      cig_ops, cig_lens, seq_off, seq_len, bases, quals, hard_l, hard_r,
      total) = packed
@@ -94,8 +99,38 @@ def prepare_region(reads, span_start, span_end, ref_window, kmer_sizes,
         hap_kmers.ctypes.data_as(_i32p), max_haps)
     if n_haps < 0:
         return None
-    fin = finalize_native.build_records(reads, int(n_reads_out[0]), o,
-                                        src_cols=src_cols)
+    if lazy_records:
+        n_out = int(n_reads_out[0])
+        memo = []
+
+        def fin():
+            if not memo:
+                memo.append(finalize_native.build_records(
+                    reads, n_out, o, src_cols=src_cols))
+            return memo[0]
+
+        def _packed_finalized():
+            # GVCF fallback consumer: the finalize output slabs flow into
+            # the position-obs accumulator as a PackedFinalized, skipping
+            # ReadRecord materialization entirely (same arrays the
+            # inactive-region fast path uses)
+            if src_cols is not None:
+                cols, idx = src_cols
+                mq = np.ascontiguousarray(cols.mq[idx])
+                mate_rid = np.ascontiguousarray(cols.mate_rid[idx])
+            else:
+                mq = np.fromiter((r.mapping_quality for r in reads),
+                                 np.int32, n)
+                mate_rid = np.fromiter((r.mate_ref_id for r in reads),
+                                       np.int32, n)
+            src = dict(flag=flag, ref_id=ref_id, tlen=tlen,
+                       mate_pos=mate_pos, mq=mq, mate_ref_id=mate_rid)
+            return finalize_native.PackedFinalized(o, n_out, src)
+
+        fin.packed = _packed_finalized
+    else:
+        fin = finalize_native.build_records(reads, int(n_reads_out[0]), o,
+                                            src_cols=src_cols)
     results = {}
     # copy only the filled prefix (hap_cap is >=1MB; n_haps is ~dozens)
     buf = hap_buf[:int(hap_off[n_haps]) if n_haps else 0].tobytes()

@@ -376,7 +376,33 @@ def compute_activity(win, ploidy=C.SAMPLE_PLOIDY):
     Returns (activity (L,) float64, repeat (L,) int32). Vectorized
     reimplementation of compute_genotype_PL / compute_biallelic_non_ref_
     posterior / compute_extension_length (HcActiveBase.cpp:190-296).
-    """
+
+    Positions with no variant-state base above MIN_BASE_QUAL provably
+    yield activity 0 (all their GL mass sits on hom-ref, and argmax ties
+    already resolve to genotype 0), so the dense per-position math runs
+    only on the candidate subset — a large win on 1Mbp windows where
+    <5% of positions carry any variant evidence."""
+    hist = win.hist
+    L = hist.shape[1]
+    cand = hist[0, :, MIN_BASE_QUAL + 1:].any(axis=1)
+    ci = np.nonzero(cand)[0]
+    if ci.size == L:
+        return _compute_activity_dense(win, ploidy)
+    activity = np.zeros(L, dtype=np.float64)
+    repeat = np.zeros(L, dtype=np.int64)
+    if ci.size:
+        import types
+        sub = types.SimpleNamespace(
+            hist=np.ascontiguousarray(hist[:, ci]),
+            hq_sum=win.hq_sum[ci], hq_n=win.hq_n[ci])
+        a, r = _compute_activity_dense(sub, ploidy)
+        activity[ci] = a
+        repeat[ci] = r
+    return activity, repeat
+
+
+def _compute_activity_dense(win, ploidy=C.SAMPLE_PLOIDY):
+    """Full per-position activity math over every row of win.hist."""
     # quals <= MIN_BASE_QUAL are excluded (compute_genotype_PL min_qual);
     # zeroing the cache rows instead of a float64 histogram copy is
     # bit-identical (0-valued partial products in the same order) and

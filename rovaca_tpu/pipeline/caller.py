@@ -487,10 +487,16 @@ class HaplotypeCaller:
                     max_len = int(max(len(r.bases) for r in reads[:4096]))
                 PairHMMScheduler.prewarm_async(max_len)
 
+        # left bound for sorted selections: a read at pos < start-max_span
+        # cannot reach `start`, so the end-test only needs the
+        # [start-max_span, stop) pos slice instead of a prefix scan from 0
+        max_span = int((end_arr - pos_arr).max()) if n_reads else 0
+
         def overlapping_sel(p_arr, e_arr, start, stop, sorted_ok):
             if sorted_ok:
+                lo_i = int(np.searchsorted(p_arr, start - max_span))
                 hi_i = int(np.searchsorted(p_arr, stop))
-                return np.nonzero(e_arr[:hi_i] > start)[0]
+                return lo_i + np.nonzero(e_arr[lo_i:hi_i] > start)[0]
             return np.nonzero((p_arr < stop) & (e_arr > start))[0]
 
         def overlapping(p_arr, e_arr, items, start, stop, sorted_ok):

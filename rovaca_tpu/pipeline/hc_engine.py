@@ -127,28 +127,38 @@ class RegionCaller:
             packed = cols_idx[0].pack(cols_idx[1])
             fused = assembler.prepare_region_native(
                 None, pad_start, pad_stop, window, pad_start,
-                packed=packed, src_cols=cols_idx)
+                packed=packed, src_cols=cols_idx, lazy_records=True)
             if fused is None:
                 reads = cols_idx[0].materialize(cols_idx[1])
         else:
             fused = assembler.prepare_region_native(
-                reads, pad_start, pad_stop, window, pad_start)
+                reads, pad_start, pad_stop, window, pad_start,
+                lazy_records=True)
         if fused is not None:
-            fin, haplotypes = fused
+            # fin is a memoized thunk: regions that trim away in VCF mode
+            # never pay for ReadRecord materialization
+            fin_thunk, haplotypes = fused
         else:
             fin = assembler.finalize_and_adjust(reads, pad_start, pad_stop)
             haplotypes = assembler.assemble_region(fin, window, pad_start)
+            fin_thunk = lambda: fin  # noqa: E731
 
         if cfg.assemble_output_path:
-            self._dump_assembly(region, contig, fin, haplotypes)
+            self._dump_assembly(region, contig, fin_thunk(), haplotypes)
 
         trim = trimming.trim_region(
             haplotypes, window, pad_start, region.start, region.end,
             pad_start, pad_stop, cfg.max_mnp_distance)
+        # GVCF fallbacks prefer the packed finalize slabs (no ReadRecord
+        # materialization); fused-native thunks expose them as .packed
+        def rc_reads():
+            pk = getattr(fin_thunk, "packed", None)
+            return pk() if pk is not None else fin_thunk()
+
         if trim is None:
             if cfg.gvcf_mode:
                 return self._reference_confidence_only(
-                    region, fin, ref, contig, (pad_start, pad_stop))
+                    region, rc_reads(), ref, contig, (pad_start, pad_stop))
             return []
 
         span_start, span_stop = trim.padded_span
@@ -158,8 +168,9 @@ class RegionCaller:
         if len(haps) <= 1:
             if cfg.gvcf_mode:
                 return self._reference_confidence_only(
-                    region, fin, ref, contig, (pad_start, pad_stop))
+                    region, rc_reads(), ref, contig, (pad_start, pad_stop))
             return []
+        fin = fin_thunk()
         call_reads = trimming.trim_reads(fin, span_start, span_stop)
         untrimmed_fin = fin  # original_reads for GVCF flanks / fallbacks
         # filter_non_passing_reads (haplotypecaller_engine.cpp:419-437):
