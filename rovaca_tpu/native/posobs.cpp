@@ -205,8 +205,9 @@ void informative_set(const Read& r, int64_t read_start,
 // hist (2, L, 64) int32 (status 0 = non-ref, 1 = ref-match), depth (L)
 // int32, indel_informative (L) int32. padded_ref covers absolute
 // positions [padded_start, padded_start + padded_len); depth is (2, L).
-extern "C" void rovaca_build_position_obs(
-    int64_t n_reads, const int64_t* pos, const int64_t* mate_pos,
+static void build_position_obs_impl(
+    int64_t n_reads, const uint8_t* keep, const int64_t* pos,
+    const int64_t* mate_pos,
     const int32_t* tlen, const int32_t* flag, const int64_t* cig_off,
     const int32_t* cig_n, const uint8_t* cig_ops, const int32_t* cig_lens,
     const int64_t* seq_off, const int32_t* seq_len, const uint8_t* bases,
@@ -221,6 +222,7 @@ extern "C" void rovaca_build_position_obs(
 
     std::vector<uint8_t> info;
     for (int64_t ri = 0; ri < n_reads; ri++) {
+        if (keep && !keep[ri]) continue;
         Read r;
         r.pos = pos[ri];
         r.mate_pos = mate_pos[ri];
@@ -306,4 +308,78 @@ extern "C" void rovaca_build_position_obs(
             }
         }
     }
+}
+
+// Original dense entry: every row participates.
+extern "C" void rovaca_build_position_obs(
+    int64_t n_reads, const int64_t* pos, const int64_t* mate_pos,
+    const int32_t* tlen, const int32_t* flag, const int64_t* cig_off,
+    const int32_t* cig_n, const uint8_t* cig_ops, const int32_t* cig_lens,
+    const int64_t* seq_off, const int32_t* seq_len, const uint8_t* bases,
+    const uint8_t* quals, const uint8_t* padded_ref, int64_t padded_len,
+    int64_t padded_start, int64_t start, int64_t end, int32_t* hist,
+    int32_t* depth, int32_t* indel_informative) {
+    build_position_obs_impl(n_reads, nullptr, pos, mate_pos, tlen, flag,
+                            cig_off, cig_n, cig_ops, cig_lens, seq_off,
+                            seq_len, bases, quals, padded_ref, padded_len,
+                            padded_start, start, end, hist, depth,
+                            indel_informative);
+}
+
+// Masked entry: rows with keep[ri]==0 are skipped, so callers can hand
+// the finalize output slabs over verbatim (offsets absolute into the
+// shared cigar/sequence slabs) instead of flatten-gathering the kept
+// subset in Python. Histogram/depth/informative adds are integer and
+// per-read independent, so skipping is bit-identical to gathering.
+extern "C" void rovaca_build_position_obs_masked(
+    int64_t n_reads, const uint8_t* keep, const int64_t* pos,
+    const int64_t* mate_pos,
+    const int32_t* tlen, const int32_t* flag, const int64_t* cig_off,
+    const int32_t* cig_n, const uint8_t* cig_ops, const int32_t* cig_lens,
+    const int64_t* seq_off, const int32_t* seq_len, const uint8_t* bases,
+    const uint8_t* quals, const uint8_t* padded_ref, int64_t padded_len,
+    int64_t padded_start, int64_t start, int64_t end, int32_t* hist,
+    int32_t* depth, int32_t* indel_informative) {
+    build_position_obs_impl(n_reads, keep, pos, mate_pos, tlen, flag,
+                            cig_off, cig_n, cig_ops, cig_lens, seq_off,
+                            seq_len, bases, quals, padded_ref, padded_len,
+                            padded_start, start, end, hist, depth,
+                            indel_informative);
+}
+
+// Filtered entry: computes the usable-read filter internally
+// (filter_non_passing_reads2, adapter_utils.cpp:240-251 — unclipped
+// length, mapping quality, mate-contig check) and accumulates the
+// surviving rows, replacing PackedFinalized.usable_mask + the keep
+// array. min_len is MIN_READ_LENGTH_AFTER_TRIMMING.
+extern "C" void rovaca_build_position_obs_filtered(
+    int64_t n_reads, const int32_t* mq, const int32_t* ref_id,
+    const int32_t* mate_ref_id, int32_t mq_threshold, int32_t min_len,
+    const int64_t* pos, const int64_t* mate_pos,
+    const int32_t* tlen, const int32_t* flag, const int64_t* cig_off,
+    const int32_t* cig_n, const uint8_t* cig_ops, const int32_t* cig_lens,
+    const int64_t* seq_off, const int32_t* seq_len, const uint8_t* bases,
+    const uint8_t* quals, const uint8_t* padded_ref, int64_t padded_len,
+    int64_t padded_start, int64_t start, int64_t end, int32_t* hist,
+    int32_t* depth, int32_t* indel_informative) {
+    std::vector<uint8_t> keep(n_reads);
+    for (int64_t ri = 0; ri < n_reads; ri++) {
+        int64_t sc = 0;
+        const uint8_t* ops = cig_ops + cig_off[ri];
+        const int32_t* lens = cig_lens + cig_off[ri];
+        for (int32_t ci = 0; ci < cig_n[ri]; ci++)
+            if (ops[ci] == S) sc += lens[ci];
+        int64_t unclipped = (int64_t)seq_len[ri] - sc;
+        int32_t f = flag[ri];
+        bool paired = f & 0x1, unmapped = f & 0x4, mate_unmapped = f & 0x8;
+        bool mate_ok = !paired || mate_unmapped ||
+                       (!unmapped && ref_id[ri] == mate_ref_id[ri]);
+        keep[ri] = unclipped >= min_len && mq[ri] >= mq_threshold &&
+                   mate_ok;
+    }
+    build_position_obs_impl(n_reads, keep.data(), pos, mate_pos, tlen,
+                            flag, cig_off, cig_n, cig_ops, cig_lens,
+                            seq_off, seq_len, bases, quals, padded_ref,
+                            padded_len, padded_start, start, end, hist,
+                            depth, indel_informative);
 }

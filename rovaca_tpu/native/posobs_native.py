@@ -24,6 +24,19 @@ def _lib():
         _i32p, _i64p, _i32p, _u8p, _u8p, _u8p, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _i32p, _i32p,
         _i32p]
+    lib.rovaca_build_position_obs_masked.restype = None
+    lib.rovaca_build_position_obs_masked.argtypes = [
+        ctypes.c_int64, _u8p, _i64p, _i64p, _i32p, _i32p, _i64p, _i32p,
+        _u8p, _i32p, _i64p, _i32p, _u8p, _u8p, _u8p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _i32p, _i32p,
+        _i32p]
+    lib.rovaca_build_position_obs_filtered.restype = None
+    lib.rovaca_build_position_obs_filtered.argtypes = [
+        ctypes.c_int64, _i32p, _i32p, _i32p, ctypes.c_int32,
+        ctypes.c_int32, _i64p, _i64p, _i32p, _i32p, _i64p, _i32p,
+        _u8p, _i32p, _i64p, _i32p, _u8p, _u8p, _u8p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _i32p, _i32p,
+        _i32p]
     return lib
 
 
@@ -31,49 +44,84 @@ def available():
     return _lib() is not None
 
 
+def build_position_obs_filtered(obs, pk, mq_threshold, padded_ref,
+                                padded_start, start, end):
+    """Accumulate from a PackedFinalized with the usable-read filter
+    (finalize_native.PackedFinalized.usable_mask semantics) computed
+    inside the native call — no keep array, no numpy mask machinery.
+    Bit-identical to build_position_obs_packed(usable_mask(...))."""
+    from .. import constants as C
+    lib = _lib()
+    o, src = pk.o, pk.src
+    n = pk.n
+    if n == 0:
+        return
+    idx = o["o_idx"][:n]
+    pos = np.ascontiguousarray(o["o_pos"][:n], dtype=np.int64)
+    mate_pos = np.ascontiguousarray(src["mate_pos"][idx], dtype=np.int64)
+    tlen = np.ascontiguousarray(src["tlen"][idx], dtype=np.int32)
+    flag = np.ascontiguousarray(src["flag"][idx], dtype=np.int32)
+    mq = np.ascontiguousarray(src["mq"][idx], dtype=np.int32)
+    rid = np.ascontiguousarray(src["ref_id"][idx], dtype=np.int32)
+    mrid = np.ascontiguousarray(src["mate_ref_id"][idx], dtype=np.int32)
+    cig_off = np.ascontiguousarray(o["o_coff"][:n], dtype=np.int64)
+    cig_n = np.ascontiguousarray(o["o_cn"][:n], dtype=np.int32)
+    seq_off = np.ascontiguousarray(o["o_soff"][:n], dtype=np.int64)
+    seq_len = np.ascontiguousarray(o["o_slen"][:n], dtype=np.int32)
+
+    ref_c = np.ascontiguousarray(padded_ref, dtype=np.uint8)
+    lib.rovaca_build_position_obs_filtered(
+        n, mq.ctypes.data_as(_i32p), rid.ctypes.data_as(_i32p),
+        mrid.ctypes.data_as(_i32p), int(mq_threshold),
+        int(C.MIN_READ_LENGTH_AFTER_TRIMMING),
+        pos.ctypes.data_as(_i64p), mate_pos.ctypes.data_as(_i64p),
+        tlen.ctypes.data_as(_i32p), flag.ctypes.data_as(_i32p),
+        cig_off.ctypes.data_as(_i64p), cig_n.ctypes.data_as(_i32p),
+        o["o_cops"].ctypes.data_as(_u8p),
+        o["o_clens"].ctypes.data_as(_i32p),
+        seq_off.ctypes.data_as(_i64p), seq_len.ctypes.data_as(_i32p),
+        o["o_bases"].ctypes.data_as(_u8p),
+        o["o_quals"].ctypes.data_as(_u8p),
+        ref_c.ctypes.data_as(_u8p), ref_c.size, padded_start, start, end,
+        obs.hist.ctypes.data_as(_i32p), obs.depth.ctypes.data_as(_i32p),
+        obs.indel_informative.ctypes.data_as(_i32p))
+
+
 def build_position_obs_packed(obs, pk, keep, padded_ref, padded_start,
                               start, end):
     """Accumulate from a PackedFinalized (finalize_native) without
-    materializing ReadRecords: subset rows by `keep` (bool mask), flatten
-    the kept cigar/sequence slices with vectorized gathers, and feed the
-    same native entry. Array-identical to the record path."""
-    from .finalize_native import _ranges
+    materializing ReadRecords: the finalize output slabs are passed
+    verbatim (offsets are absolute into the shared cigar/sequence slabs)
+    with a keep mask — the masked native entry skips filtered rows, so
+    no flatten gathers happen on the Python side. Array-identical to the
+    record path (integer adds are per-read independent)."""
     lib = _lib()
     o, src = pk.o, pk.src
-    rows = np.nonzero(keep)[0]
-    n = int(rows.size)
-    if n == 0:
+    n = pk.n
+    if n == 0 or not np.any(keep):
         return
-    idx = o["o_idx"][:pk.n][rows]
-    pos = o["o_pos"][:pk.n][rows].astype(np.int64)
-    mate_pos = src["mate_pos"][idx].astype(np.int64)
-    tlen = src["tlen"][idx].astype(np.int32)
-    flag = src["flag"][idx].astype(np.int32)
-
-    cn64 = o["o_cn"][:pk.n][rows].astype(np.int64)
-    gi = o["o_coff"][:pk.n][rows].repeat(cn64) + _ranges(cn64)
-    cig_ops = np.ascontiguousarray(o["o_cops"][gi])
-    cig_lens = np.ascontiguousarray(o["o_clens"][gi])
-    cig_n = cn64.astype(np.int32)
-    cig_off = np.zeros(n, dtype=np.int64)
-    np.cumsum(cn64[:-1], out=cig_off[1:])
-
-    sl64 = o["o_slen"][:pk.n][rows].astype(np.int64)
-    si = o["o_soff"][:pk.n][rows].repeat(sl64) + _ranges(sl64)
-    bases = np.ascontiguousarray(o["o_bases"][si])
-    quals = np.ascontiguousarray(o["o_quals"][si])
-    seq_len = sl64.astype(np.int32)
-    seq_off = np.zeros(n, dtype=np.int64)
-    np.cumsum(sl64[:-1], out=seq_off[1:])
+    keep_u8 = np.ascontiguousarray(keep, dtype=np.uint8)
+    idx = o["o_idx"][:n]
+    pos = np.ascontiguousarray(o["o_pos"][:n], dtype=np.int64)
+    mate_pos = np.ascontiguousarray(src["mate_pos"][idx], dtype=np.int64)
+    tlen = np.ascontiguousarray(src["tlen"][idx], dtype=np.int32)
+    flag = np.ascontiguousarray(src["flag"][idx], dtype=np.int32)
+    cig_off = np.ascontiguousarray(o["o_coff"][:n], dtype=np.int64)
+    cig_n = np.ascontiguousarray(o["o_cn"][:n], dtype=np.int32)
+    seq_off = np.ascontiguousarray(o["o_soff"][:n], dtype=np.int64)
+    seq_len = np.ascontiguousarray(o["o_slen"][:n], dtype=np.int32)
 
     ref_c = np.ascontiguousarray(padded_ref, dtype=np.uint8)
-    lib.rovaca_build_position_obs(
-        n, pos.ctypes.data_as(_i64p), mate_pos.ctypes.data_as(_i64p),
+    lib.rovaca_build_position_obs_masked(
+        n, keep_u8.ctypes.data_as(_u8p),
+        pos.ctypes.data_as(_i64p), mate_pos.ctypes.data_as(_i64p),
         tlen.ctypes.data_as(_i32p), flag.ctypes.data_as(_i32p),
         cig_off.ctypes.data_as(_i64p), cig_n.ctypes.data_as(_i32p),
-        cig_ops.ctypes.data_as(_u8p), cig_lens.ctypes.data_as(_i32p),
+        o["o_cops"].ctypes.data_as(_u8p),
+        o["o_clens"].ctypes.data_as(_i32p),
         seq_off.ctypes.data_as(_i64p), seq_len.ctypes.data_as(_i32p),
-        bases.ctypes.data_as(_u8p), quals.ctypes.data_as(_u8p),
+        o["o_bases"].ctypes.data_as(_u8p),
+        o["o_quals"].ctypes.data_as(_u8p),
         ref_c.ctypes.data_as(_u8p), ref_c.size, padded_start, start, end,
         obs.hist.ctypes.data_as(_i32p), obs.depth.ctypes.data_as(_i32p),
         obs.indel_informative.ctypes.data_as(_i32p))

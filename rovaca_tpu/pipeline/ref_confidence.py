@@ -507,39 +507,35 @@ def reference_confidence_records(obs, ref, contig, start, calls_by_pos,
             bytes(ref[start + p0:start + p1]), dtype=np.uint8)
 
     out = []
-    pos = 0
-    run_start = None
 
-    def close_run(end_pos):
-        if run_start is None:
-            return
-        out.append(HomRefSpan(
+    def hom_ref_span(run_start, end_pos):
+        return HomRefSpan(
             contig=contig, start=start + run_start,
             pls=pls_all[run_start:end_pos],
             gq=gq_all[run_start:end_pos],
             dp=dp_all[run_start:end_pos],
             ref_bytes=span_ref_bytes(run_start, end_pos),
-            sample=sample, ploidy=ploidy))
+            sample=sample, ploidy=ploidy)
 
-    while pos < L:
-        gpos = start + pos
-        call = calls_by_pos.get(gpos)
-        if call is not None:
-            # the reference walks EVERY pileup position and splices a call
-            # in at its start; positions inside the call's ref span still
-            # get hom-ref records (suppressed downstream by the combiner's
-            # next-available horizon) — two overlapping events both emit
-            # (calculate_ref_confidence, reference_confidence_model.cpp:
-            # 62-72; suppression: block_combiner.cpp:147-156)
-            close_run(pos)
-            run_start = None
-            out.append(call)
-            pos += 1
+    # the reference walks EVERY pileup position and splices a call in at
+    # its start; positions inside the call's ref span still get hom-ref
+    # records (suppressed downstream by the combiner's next-available
+    # horizon) — two overlapping events both emit (calculate_ref_
+    # confidence, reference_confidence_model.cpp:62-72; suppression:
+    # block_combiner.cpp:147-156). Walking only the call positions and
+    # emitting the hom-ref stretches between them yields the identical
+    # record sequence without a per-position Python loop.
+    prev = 0
+    for gpos in sorted(calls_by_pos) if calls_by_pos else ():
+        p = gpos - start
+        if p < 0 or p >= L:
             continue
-        if run_start is None:
-            run_start = pos
-        pos += 1
-    close_run(min(pos, L))
+        if p > prev:
+            out.append(hom_ref_span(prev, p))
+        out.append(calls_by_pos[gpos])
+        prev = p + 1
+    if prev < L:
+        out.append(hom_ref_span(prev, L))
     return out
 
 
@@ -575,8 +571,8 @@ def reference_model_for_no_variation(region, reads, ref, contig,
         # the native accumulator without ReadRecord materialization
         from ..native import posobs_native
         obs = PositionObs(region.end + 1 - region.start)
-        posobs_native.build_position_obs_packed(
-            obs, reads, reads.usable_mask(mapping_quality_threshold),
+        posobs_native.build_position_obs_filtered(
+            obs, reads, mapping_quality_threshold,
             padded_ref, p0, region.start, region.end + 1)
         return reference_confidence_records(obs, ref, contig, region.start,
                                             {}, sample=sample)
