@@ -218,6 +218,15 @@ def hard_clip_to_region(read, region_start, region_end):
     """Keep only query bases aligned within [region_start, region_end]
     (0-based inclusive; hc_assemble_utils_hard_clip_to_region). Insertions
     attach to their left neighbor's position."""
+    # fast path: the whole unclipped span sits inside the region, so every
+    # event anchor is kept (soft-clip virtual positions extend at most to
+    # the unclipped bounds; leading-insertion anchors of pos-1 survive the
+    # ins keep-bound of region_start-1) — identical to the slow paths'
+    # keep-all returns
+    cig = read.cigar
+    if (read.pos - cig.left_soft_clip >= region_start
+            and read.end + cig.right_soft_clip <= region_end + 1):
+        return read
     lay = _sms_layout(read)
     if lay is not None:
         leftS, _mlen, _rightS = lay
