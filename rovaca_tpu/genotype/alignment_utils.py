@@ -178,6 +178,22 @@ def realign_read_to_haplotype(read, hap, h2r=None, sw_result=None,
     if res.alignment_offset < 0:
         return read
 
+    # fast path: exact all-M placement on the (all-M) reference haplotype.
+    # The full compose provably reduces to pos = window_start + offset with
+    # an n-M cigar: h2r is the identity, no gaps/clips exist, start_rel
+    # equals the SW offset for a single-M hap cigar, and left-aligning an
+    # indel-free cigar is a no-op.
+    n_read = len(read.bases)
+    res_el = res.cigar.elements
+    if (getattr(hap, "is_ref", False)
+            and len(res_el) == 1 and res_el[0][0] == CigarOp.M
+            and res_el[0][1] == n_read
+            and len(hap.cigar.elements) == 1
+            and hap.cigar.elements[0][0] == CigarOp.M
+            and getattr(hap, "window_start", None) is not None):
+        return read.copy(pos=hap.window_start + res.alignment_offset,
+                         cigar=Cigar([(CigarOp.M, n_read)]))
+
     # read base -> hap base index; SW soft clips (read overhangs the hap)
     # stay soft clips, hap-inserted bases become insertions.  Built as
     # per-base arrays (hap index, or -1 with a clip flag), then composed
