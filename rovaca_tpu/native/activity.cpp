@@ -218,3 +218,44 @@ extern "C" void rovaca_pileup_gls(
         counts[p] = n;
     }
 }
+
+// Candidate variant of rovaca_pileup_gls: positions with no variant-state
+// (s=0) count above qual_threshold provably yield activity 0 downstream,
+// so only rows with such evidence are emitted (their per-row arithmetic
+// is the exact sequence of rovaca_pileup_gls — bit-identical results).
+// Returns the number of candidate rows written to idx/gl/counts.
+extern "C" int64_t rovaca_pileup_gls_cand(
+    const int32_t* hist, int64_t L, const double* cache, int64_t G,
+    int32_t qual_threshold, double log10_ploidy, int64_t* idx,
+    double* gl, int64_t* counts) {
+    const int64_t HQ = 64;
+    int64_t nc = 0;
+    for (int64_t p = 0; p < L; ++p) {
+        const int32_t* row0 = hist + p * HQ;   // state 0 = variant
+        bool cand = false;
+        for (int64_t q = qual_threshold + 1; q < HQ; ++q)
+            if (row0[q]) { cand = true; break; }
+        if (!cand) continue;
+        double* g = gl + nc * G;
+        for (int64_t k = 0; k < G; ++k) g[k] = 0.0;
+        int64_t n = 0;
+        for (int s = 1; s >= 0; --s) {
+            const int32_t* row = hist + ((int64_t)s * L + p) * HQ;
+            const double* crow = cache + (int64_t)s * HQ * G;
+            for (int64_t q = 0; q < HQ; ++q) {
+                const int32_t c = row[q];
+                if (c == 0) continue;
+                const double* cv = crow + q * G;
+                const double dc = (double)c;
+                for (int64_t k = 0; k < G; ++k) g[k] += dc * cv[k];
+                if (q > qual_threshold) n += c;
+            }
+        }
+        const double denom = (double)n * log10_ploidy;
+        for (int64_t k = 0; k < G; ++k) g[k] -= denom;
+        counts[nc] = n;
+        idx[nc] = p;
+        nc++;
+    }
+    return nc;
+}

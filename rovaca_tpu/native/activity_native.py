@@ -153,3 +153,42 @@ def lib_has_pileup_gls(lib):
     fn.argtypes = [_i32p, ctypes.c_int64, _f64p, ctypes.c_int64,
                    ctypes.c_int32, ctypes.c_double, _f64p, _i64p]
     return True
+
+
+def pileup_gls_cand(hist, cache, qual_threshold, ploidy):
+    """Candidate rows only: (idx (nc,) int64, gl (nc,G) float64,
+    counts (nc,) int64) for positions whose variant-state histogram has
+    any count above qual_threshold — the only positions that can produce
+    nonzero activity. Per-row arithmetic is the exact rovaca_pileup_gls
+    sequence. None when the native lib is unavailable."""
+    import math
+    import os
+    lib = _lib()
+    if lib is None or os.environ.get("ROVACA_NO_NATIVE_ACTIVITY"):
+        return None
+    if not _lib_has_pileup_gls_cand(lib):
+        return None
+    L = hist.shape[1]
+    G = cache.shape[2]
+    hist = np.ascontiguousarray(hist, dtype=np.int32)
+    cache = np.ascontiguousarray(cache, dtype=np.float64)
+    idx = np.empty(L, dtype=np.int64)
+    gl = np.empty((L, G), dtype=np.float64)
+    counts = np.empty(L, dtype=np.int64)
+    nc = lib.rovaca_pileup_gls_cand(
+        hist.ctypes.data_as(_i32p), L, cache.ctypes.data_as(_f64p), G,
+        qual_threshold, math.log10(ploidy), idx.ctypes.data_as(_i64p),
+        gl.ctypes.data_as(_f64p), counts.ctypes.data_as(_i64p))
+    return idx[:nc], gl[:nc], counts[:nc]
+
+
+@functools.lru_cache(maxsize=1)
+def _lib_has_pileup_gls_cand(lib):
+    try:
+        fn = lib.rovaca_pileup_gls_cand
+    except AttributeError:
+        return False
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [_i32p, ctypes.c_int64, _f64p, ctypes.c_int64,
+                   ctypes.c_int32, ctypes.c_double, _i64p, _f64p, _i64p]
+    return True

@@ -384,6 +384,20 @@ def compute_activity(win, ploidy=C.SAMPLE_PLOIDY):
     <5% of positions carry any variant evidence."""
     hist = win.hist
     L = hist.shape[1]
+    from ..native import activity_native
+    cand_gls = activity_native.pileup_gls_cand(
+        hist, _masked_genotype_cache(ploidy), MIN_BASE_QUAL, ploidy)
+    if cand_gls is not None:
+        # single native pass: candidate detection + their GL rows
+        ci, gl, icounts = cand_gls
+        activity = np.zeros(L, dtype=np.float64)
+        repeat = np.zeros(L, dtype=np.int64)
+        if ci.size:
+            a, r = _activity_from_gls(gl, icounts.astype(np.float64),
+                                      win.hq_sum[ci], win.hq_n[ci], ploidy)
+            activity[ci] = a
+            repeat[ci] = r
+        return activity, repeat
     cand = hist[0, :, MIN_BASE_QUAL + 1:].any(axis=1)
     ci = np.nonzero(cand)[0]
     if ci.size == L:
@@ -419,7 +433,11 @@ def _compute_activity_dense(win, ploidy=C.SAMPLE_PLOIDY):
             axis=(0, 2), dtype=np.int64).astype(np.float64)  # (L,)
         gl = np.einsum("sLq,sqg->Lg", hist, cache)          # (L, ploidy+1)
         gl -= counts[:, None] * math.log10(ploidy)
+    return _activity_from_gls(gl, counts, win.hq_sum, win.hq_n, ploidy)
 
+
+def _activity_from_gls(gl, counts, hq_sum, hq_n, ploidy):
+    """PL quantization, prior, posterior, and smear factor from GL rows."""
     # PL quantization
     best = gl.max(axis=1, keepdims=True)
     pls = np.round(-10.0 * (gl - best))
@@ -436,8 +454,8 @@ def _compute_activity_dense(win, ploidy=C.SAMPLE_PLOIDY):
     post0 = lin[:, 0] / lin.sum(axis=1)
     activity = np.where(hom_ref_best | (counts == 0), 0.0, 1.0 - post0)
 
-    hq_mean = np.divide(win.hq_sum, win.hq_n,
-                        out=np.zeros_like(win.hq_sum), where=win.hq_n > 0)
+    hq_mean = np.divide(hq_sum, hq_n,
+                        out=np.zeros_like(hq_sum), where=hq_n > 0)
     repeat = np.where(
         (activity > 0) & (hq_mean > HQ_BASES_THRESHOLD),
         2 * np.minimum(MAX_PROB_DISTANCE, hq_mean).astype(np.int64) + 1,
