@@ -239,7 +239,14 @@ def main(argv=None):
     if rc in (0, None) and "jax" in sys.modules:
         try:
             import jax
-            backend = jax.default_backend()
+            from jax._src import xla_bridge as _xb
+            # only ask for the backend if one was actually initialized:
+            # jax.default_backend() on an untouched tunnel attachment
+            # would START the remote handshake here, at exit
+            if getattr(_xb, "_backends", None):
+                backend = jax.default_backend()
+            else:
+                backend = "cpu"
         except Exception:
             backend = "cpu"
         if backend != "cpu":

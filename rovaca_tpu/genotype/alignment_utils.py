@@ -323,11 +323,13 @@ def _use_banded_tpu_sw():
     env = os.environ.get("ROVACA_BANDED_REALIGN")
     if env is not None:
         return env not in ("0", "false", "")
-    from ..utils.platform import backend_name
-    if backend_name() != "tpu":
-        return False
+    # verdict first, backend second: a native-verdict run must not
+    # initialize the tunnel backend just to answer this gate
     from ..pipeline.scheduler import PairHMMScheduler
-    return PairHMMScheduler._auto_probe == "device"
+    if PairHMMScheduler._auto_probe != "device":
+        return False
+    from ..utils.platform import backend_name
+    return backend_name() == "tpu"
 
 
 def realign_reads_to_their_best_haplotype(likelihoods):

@@ -95,18 +95,13 @@ class PairHMMScheduler:
         (haplotypecaller.cpp:117-146)."""
         import os
 
-        from ..utils.platform import backend_name
-
-        est_tiles = sum(
-            (-(-len(j.reads) // prep.READ_TILE))
-            * (-(-len(j.haps) // prep.HAP_TILE)) for j in self.jobs)
-        small_floor = int(os.environ.get("ROVACA_TPU_MIN_TILES",
-                                         str(self.SMALL_TILES)))
-        use_indexed = (self.engine in ("auto", "pallas")
-                       and backend_name() == "tpu"
-                       and (self.engine == "pallas"
-                            or est_tiles >= small_floor))
-        if (use_indexed and self.engine == "auto"
+        # consult the (cheap, persisted) auto-probe verdict BEFORE asking
+        # for the backend name: on a native-verdict machine the whole run
+        # must complete without ever initializing the tunnel-attached
+        # backend (a first jax.default_backend() costs seconds of remote
+        # handshake that a native-engine run never repays)
+        choice = None
+        if (self.engine == "auto"
                 and not os.environ.get("ROVACA_NO_AUTO_PROBE")):
             from ..native import pairhmm_native
             if pairhmm_native.available():
@@ -114,11 +109,28 @@ class PairHMMScheduler:
                 if choice is None:
                     choice = self._load_probe_cache()
                     PairHMMScheduler._auto_probe = choice
-                if choice is None and self.jobs:
+
+        if self.engine == "auto" and choice == "native":
+            use_indexed = False
+        else:
+            from ..utils.platform import backend_name
+
+            est_tiles = sum(
+                (-(-len(j.reads) // prep.READ_TILE))
+                * (-(-len(j.haps) // prep.HAP_TILE)) for j in self.jobs)
+            small_floor = int(os.environ.get("ROVACA_TPU_MIN_TILES",
+                                             str(self.SMALL_TILES)))
+            use_indexed = (self.engine in ("auto", "pallas")
+                           and backend_name() == "tpu"
+                           and (self.engine == "pallas"
+                                or est_tiles >= small_floor))
+            if (use_indexed and self.engine == "auto"
+                    and not os.environ.get("ROVACA_NO_AUTO_PROBE")):
+                from ..native import pairhmm_native
+                if (pairhmm_native.available() and choice is None
+                        and self.jobs):
                     self._collect_fn = self._probe_engines()
                     return
-                if choice == "native":
-                    use_indexed = False
         if use_indexed:
             from ..ops.pairhmm import compact
             for job in self.jobs:

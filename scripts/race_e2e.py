@@ -152,7 +152,9 @@ def _contenders(outdir, bam, fa):
             env["ROVACA_NATIVE_THREADS"] = "1"
         return name, cmd, env, gvcf, shards
 
-    return [
+    skip = set(filter(None, os.environ.get(
+        "ROVACA_RACE_SKIP", "").split(",")))
+    return [c for c in [
         ("reference_avx",
          [REF_BIN, "HaplotypeCaller", "-I", bam, "-R", fa,
           "-O", os.path.join(outdir, "ref.vcf"), "--nthreads", "2"],
@@ -170,7 +172,7 @@ def _contenders(outdir, bam, fa):
         ours("ours_tpu_gvcf", gvcf=True),
         ours("ours_cpu_2shard", platforms="cpu", shards=2),
         ours("ours_cpu_workers2", platforms="cpu", workers=2),
-    ]
+    ] if c[0] not in skip]
 
 
 def main():
