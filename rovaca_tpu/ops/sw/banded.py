@@ -390,9 +390,12 @@ def sw_align_banded_batch(pairs, params, overhang=OverhangStrategy.SOFTCLIP,
     if B == 0:
         return []
     if not interpret:
-        from ...utils.platform import backend_name
+        from ...utils.platform import backend_name, \
+            enable_persistent_compilation_cache
         if backend_name() != "tpu":
             interpret = True   # CPU backends run the kernel interpreted
+        else:
+            enable_persistent_compilation_cache()
     if overhang in (OverhangStrategy.INDEL, OverhangStrategy.LEADING_INDEL):
         # global strategies: band cannot soundly contain the optimum
         return [BandedSWResult(

@@ -116,22 +116,8 @@ class HCArgs:
 
 
 def _enable_persistent_compilation_cache():
-    """Kernel compiles dominate cold TPU runs (20-60s each through remote
-    tunnels); the persistent cache makes every later run warm. Pure-CPU
-    runs skip it (and the ~2s jax import) entirely."""
-    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
-        return
-    import jax
-    from ..utils.platform import sync_platform_from_env
-    sync_platform_from_env()
-    cache_dir = os.environ.get("ROVACA_JAX_CACHE",
-                               os.path.expanduser("~/.cache/rovaca_jax"))
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from ..utils.platform import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
 
 
 def parse_span(span):
@@ -170,7 +156,12 @@ class HaplotypeCaller:
 
     def run(self):
         args = self.args
-        _enable_persistent_compilation_cache()
+        # the persistent-cache config costs a ~2s jax import; native-
+        # verdict TPU attachments never compile, so defer it to the
+        # scheduler's device entries (which call it right before jit)
+        from .scheduler import PairHMMScheduler
+        if PairHMMScheduler._load_probe_cache() != "native":
+            _enable_persistent_compilation_cache()
         from ..utils import logging as rlog
         log = rlog.init(args.log_level)
         rlog.banner({k: v for k, v in dataclasses.asdict(args).items()

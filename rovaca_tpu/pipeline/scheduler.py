@@ -203,6 +203,8 @@ class PairHMMScheduler:
         import time
 
         from ..native import pairhmm_native
+        from ..utils.platform import enable_persistent_compilation_cache
+        enable_persistent_compilation_cache()
         from ..utils import logging as rlog
 
         jobs = list(self.jobs)
@@ -407,6 +409,8 @@ class PairHMMScheduler:
 
         if backend_name() == "cpu" or not cls._fixed_shapes():
             return []
+        from ..utils.platform import enable_persistent_compilation_cache
+        enable_persistent_compilation_cache()
         from ..ops.pairhmm import prep
         from ..ops.pairhmm.compact import build_pair_batch_compact
 

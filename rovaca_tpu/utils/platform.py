@@ -39,3 +39,28 @@ def force_cpu():
     """Pin this process to the CPU backend (workers, tests, evals)."""
     os.environ["JAX_PLATFORMS"] = "cpu"
     sync_platform_from_env()
+
+
+_cache_enabled = False
+
+
+def enable_persistent_compilation_cache():
+    """Point jax at the persistent compile cache (kernel compiles dominate
+    cold TPU runs — 20-60s each through remote tunnels). Costs a ~2s jax
+    import, so device entry points call it lazily right before their
+    first jit; pure-CPU/native-engine runs never pay it."""
+    global _cache_enabled
+    if _cache_enabled or os.environ.get("JAX_PLATFORMS",
+                                        "").strip() == "cpu":
+        return
+    _cache_enabled = True
+    import jax
+    sync_platform_from_env()
+    cache_dir = os.environ.get("ROVACA_JAX_CACHE",
+                               os.path.expanduser("~/.cache/rovaca_jax"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

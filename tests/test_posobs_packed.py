@@ -55,3 +55,14 @@ def test_packed_equals_record_path():
         rw = rows(want)
         assert rw == rows(got), f"trial {trial}"
         assert rw and sum(len(r[2]) for r in rw) > 0   # non-vacuous
+
+        # the keep-mask entry (generic substrate of the filtered one)
+        # must agree with the filtered path given the same usable mask
+        obs = ref_confidence.PositionObs(region.end + 1 - region.start)
+        padded_ref = np.frombuffer(ref.encode()[ps:pe + 1], dtype=np.uint8)
+        posobs_native.build_position_obs_packed(
+            obs, pk, pk.usable_mask(20), padded_ref, ps,
+            region.start, region.end + 1)
+        got_masked = ref_confidence.reference_confidence_records(
+            obs, ref.encode(), "chr1", region.start, {})
+        assert rows(got_masked) == rw, f"masked trial {trial}"
